@@ -1,0 +1,196 @@
+"""HCTR recognition model: SE-ResNet with asymmetric pooling + CTC head.
+
+TPU-first re-design of the reference architecture
+(`models/handwritten_ctr_model.py:11-178`):
+
+  * NHWC layout (XLA's native TPU conv layout) instead of NCHW.
+  * Compute dtype is configurable (bf16 on TPU; the MXU natively consumes
+    bf16); parameters and BatchNorm statistics stay f32.
+  * All shapes static — pair with the width-bucketed data pipeline so XLA
+    compiles one executable per bucket.
+
+Architecture parity (validated against the torch reference in
+`tests/test_model_parity.py`):
+
+  * ``SELayer`` (`handwritten_ctr_model.py:11-30`): global avg-pool ->
+    FC(C -> C/16, no bias) -> ReLU -> FC(-> C, no bias) -> sigmoid -> scale.
+  * ``BasicBlock`` (`:33-60`): conv3x3 -> BN -> ReLU -> conv3x3 -> BN -> SE ->
+    (+residual; 1x1-conv+BN downsample on channel change `:101-113`) -> ReLU ->
+    Dropout(0.1).
+  * ``ResNet(1->512, blocks [2,4,5,1])`` (`:63-153`): stem of two conv3x3;
+    four stages of (blocks -> conv3x3 -> BN -> ReLU); after the stem and each
+    stage a max-pool kernel (2,1) stride (2,1): height 128 -> 4, width never
+    downsampled. Stage dropouts 0.3/0.3/0.3/0.9 (`:96-99`).
+  * Head (`:164-178`): flatten (H=4, C=512) -> 2048, Linear -> num_classes.
+    Output here is batch-major ``(B, W, num_classes)`` (the TPU-friendly
+    layout); the reference emits time-major ``(W, B, D)`` — transpose at the
+    boundary when bit-parity with the reference layout is needed.
+
+The CTC time axis therefore equals the (padded) pixel width, exactly as in the
+reference (`main.py:388`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def _maxpool_h2(x: jnp.ndarray) -> jnp.ndarray:
+    """Max-pool kernel (2,1) stride (2,1) on NHWC: halve height, keep width."""
+    return nn.max_pool(x, window_shape=(2, 1), strides=(2, 1))
+
+
+class SELayer(nn.Module):
+    """Squeeze-and-excitation channel gate (SENet)."""
+
+    channels: int
+    reduction: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # (B, H, W, C) -> (B, C)
+        y = jnp.mean(x.astype(jnp.float32), axis=(1, 2)).astype(self.dtype)
+        y = nn.Dense(self.channels // self.reduction, use_bias=False,
+                     dtype=self.dtype, name="fc1")(y)
+        y = nn.relu(y)
+        y = nn.Dense(self.channels, use_bias=False, dtype=self.dtype,
+                     name="fc2")(y)
+        y = nn.sigmoid(y)
+        return x * y[:, None, None, :]
+
+
+class BasicBlock(nn.Module):
+    """conv3x3-BN-ReLU-conv3x3-BN-SE-(+res)-ReLU-Dropout(0.1)."""
+
+    planes: int
+    use_downsample: bool = False
+    dtype: Dtype = jnp.float32
+    bn_momentum: float = 0.9
+    drop_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
+        residual = x
+        out = nn.Conv(self.planes, (3, 3), padding=1, dtype=self.dtype,
+                      name="conv1")(x)
+        out = nn.BatchNorm(use_running_average=not train,
+                           momentum=self.bn_momentum, epsilon=1e-5,
+                           dtype=self.dtype, name="bn1")(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes, (3, 3), padding=1, dtype=self.dtype,
+                      name="conv2")(out)
+        out = nn.BatchNorm(use_running_average=not train,
+                           momentum=self.bn_momentum, epsilon=1e-5,
+                           dtype=self.dtype, name="bn2")(out)
+        out = SELayer(self.planes, dtype=self.dtype, name="se")(out)
+        if self.use_downsample:
+            residual = nn.Conv(self.planes, (1, 1), use_bias=False,
+                               dtype=self.dtype, name="down_conv")(x)
+            residual = nn.BatchNorm(use_running_average=not train,
+                                    momentum=self.bn_momentum, epsilon=1e-5,
+                                    dtype=self.dtype, name="down_bn")(residual)
+        out = out + residual
+        out = nn.relu(out)
+        out = nn.Dropout(self.drop_rate, deterministic=not train)(out)
+        return out
+
+
+class SEResNetBackbone(nn.Module):
+    """1 -> 512 channel SE-ResNet, blocks [2, 4, 5, 1], asymmetric pooling.
+
+    Input  (B, 128, W, 1); output (B, 4, W, 512).
+    """
+
+    out_channels: int = 512
+    num_blocks: Sequence[int] = (2, 4, 5, 1)
+    dtype: Dtype = jnp.float32
+    stage_drop: Sequence[float] = (0.3, 0.3, 0.3, 0.9)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
+        widths = [self.out_channels // 8, self.out_channels // 4,
+                  self.out_channels // 2, self.out_channels,
+                  self.out_channels]  # 64, 128, 256, 512, 512
+
+        # Stem: conv-BN-ReLU x2, then height/2.
+        x = nn.Conv(widths[0], (3, 3), padding=1, dtype=self.dtype,
+                    name="conv0_1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn0_1")(x)
+        x = nn.relu(x)
+        x = nn.Conv(widths[0], (3, 3), padding=1, dtype=self.dtype,
+                    name="conv0_2")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn0_2")(x)
+        x = nn.relu(x)
+        x = _maxpool_h2(x)
+
+        in_planes = widths[0]
+        for stage in range(4):
+            planes = widths[stage + 1]
+            for b in range(self.num_blocks[stage]):
+                x = BasicBlock(
+                    planes,
+                    use_downsample=(b == 0 and in_planes != planes),
+                    dtype=self.dtype,
+                    name=f"block{stage + 1}_{b}",
+                )(x, train=train)
+                in_planes = planes
+            x = nn.Conv(planes, (3, 3), padding=1, dtype=self.dtype,
+                        name=f"conv{stage + 1}")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype,
+                             name=f"bn{stage + 1}")(x)
+            x = nn.relu(x)
+            x = _maxpool_h2(x)
+            x = nn.Dropout(self.stage_drop[stage],
+                           deterministic=not train)(x)
+        return x
+
+
+class HCTRModel(nn.Module):
+    """SE-ResNet backbone + per-column CTC classification head.
+
+    ``num_classes = 1 (blank) + vocabulary + 1 (unknown)`` — default 7375 for
+    the full 7373-char HWDB vocabulary (`handwritten_ctr_model.py:157`,
+    `preparation_flow.py:174`).
+
+    __call__: (B, 128, W, 1) grayscale, normalized to [-1, 1]
+              -> (B, W, num_classes) logits (batch-major).
+    """
+
+    num_classes: int = 7375
+    dtype: Dtype = jnp.float32
+
+    # Model-intrinsic config, mirroring the attribute-registry pattern of the
+    # reference (`handwritten_ctr_model.py:159-162`, consumed at
+    # `main.py:192-196`).
+    img_height: int = 128
+    pad_mode: str = "NormalizePAD"
+    optimizer: str = "SGD"
+    pred: str = "CTC"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        x = x.astype(self.dtype)
+        feats = SEResNetBackbone(dtype=self.dtype, name="cnn")(x, train=train)
+        # (B, H=4, W, C=512) -> (B, W, H*C=2048). Native flatten order is
+        # (H, C); the torch checkpoint converter permutes the head weight from
+        # the reference's (C, H) order (`handwritten_ctr_model.py:173`).
+        B, H, W, C = feats.shape
+        feats = feats.transpose(0, 2, 1, 3).reshape(B, W, H * C)
+        logits = nn.Dense(self.num_classes, dtype=self.dtype,
+                          name="linear")(feats)
+        return logits.astype(jnp.float32)
+
+
+def hctr_model(num_classes: int = 7375, dtype: Dtype = jnp.float32) -> HCTRModel:
+    """Factory mirroring `handwritten_ctr_model.py:156`."""
+    return HCTRModel(num_classes=num_classes, dtype=dtype)

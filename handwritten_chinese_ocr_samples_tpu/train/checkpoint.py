@@ -1,0 +1,101 @@
+"""Checkpoint save/load with the reference's naming + resume semantics.
+
+Reference behavior (`main.py:349-356,540-558`):
+  * every checkpoint carries ``{epoch, state_dict, best_acc, optimizer}``;
+  * latest is always ``<model>_checkpoint.pth.tar``; when it is the best so
+    far it is additionally copied to
+    ``<model>_{epoch}ep_{acc:.4f}acc_checkpoint.pth.tar`` (``val_`` prefix for
+    validation-time checkpoints);
+  * only rank 0 writes (`main.py:542-543`) — here ``jax.process_index()==0``;
+  * resume restores epoch, best_acc and optimizer state (`main.py:251-269`).
+
+Implementation: orbax ``PyTreeCheckpointer`` into a directory per checkpoint
+(the TPU-world ``torch.save``), with scalar metadata stored alongside.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Any, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+from .step import TrainState
+
+
+def _ckpt_dir(out_dir: str, model_type: str) -> str:
+    return os.path.join(out_dir, f"{model_type}_checkpoint")
+
+
+def save_checkpoint(
+    state: TrainState,
+    epoch: int,
+    best_acc: float,
+    out_dir: str = ".",
+    model_type: str = "hctr",
+    is_best: bool = False,
+    acc: float = 0.0,
+    is_val: bool = False,
+) -> str:
+    """Write latest checkpoint; copy to a best-tagged name when ``is_best``."""
+    if jax.process_index() != 0:
+        return ""
+    os.makedirs(out_dir, exist_ok=True)
+    payload = {
+        "epoch": epoch,
+        "best_acc": float(best_acc),
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    path = os.path.abspath(_ckpt_dir(out_dir, model_type))
+    ckptr = ocp.PyTreeCheckpointer()
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    ckptr.save(path, payload)
+    if is_best:
+        prefix = "val_" if is_val else ""
+        best_path = os.path.abspath(os.path.join(
+            out_dir,
+            f"{prefix}{model_type}_{epoch}ep_{acc:.4f}acc_checkpoint"))
+        if os.path.exists(best_path):
+            shutil.rmtree(best_path)
+        shutil.copytree(path, best_path)
+    return path
+
+
+def load_checkpoint(
+    path: str,
+    state: Optional[TrainState] = None,
+) -> Tuple[Any, int, float]:
+    """Load a checkpoint; returns ``(state_or_payload, epoch, best_acc)``.
+
+    With a template ``state``, params/batch_stats/opt_state/step are restored
+    into it (full resume, `main.py:257-263`); without one the raw payload tree
+    is returned (eval path, `test.py:151-153`).
+    """
+    ckptr = ocp.PyTreeCheckpointer()
+    path = os.path.abspath(path)
+    if state is not None:
+        template = {
+            "epoch": 0,
+            "best_acc": 0.0,
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        payload = ckptr.restore(path, item=template)
+        new_state = state.replace(
+            params=payload["params"],
+            batch_stats=payload["batch_stats"],
+            opt_state=payload["opt_state"],
+            step=payload["step"],
+        )
+        return new_state, int(payload["epoch"]), float(payload["best_acc"])
+    payload = ckptr.restore(path)
+    return payload, int(payload.get("epoch", 0)), float(
+        payload.get("best_acc", 0.0))

@@ -1,0 +1,32 @@
+"""Test configuration: run JAX on CPU with 8 virtual devices.
+
+Multi-chip sharding is validated without TPU hardware via
+``--xla_force_host_platform_device_count`` (SURVEY.md §4) — the TPU-world
+answer to testing multi-node without a cluster. Must be set before the first
+jax import.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/tmp/jax_cache_hctr_tests")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+# Reference checkout (read-only), used as a behavioral oracle when present.
+REFERENCE_PATH = os.environ.get("HCTR_REFERENCE_PATH", "/root/reference")
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REFERENCE_PATH)
