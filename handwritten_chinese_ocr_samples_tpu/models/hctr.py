@@ -168,6 +168,8 @@ class HCTRModel(nn.Module):
 
     num_classes: int = 7375
     dtype: Dtype = jnp.float32
+    backbone_channels: int = 512
+    num_blocks: Sequence[int] = (2, 4, 5, 1)
 
     # Model-intrinsic config, mirroring the attribute-registry pattern of the
     # reference (`handwritten_ctr_model.py:159-162`, consumed at
@@ -180,7 +182,9 @@ class HCTRModel(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         x = x.astype(self.dtype)
-        feats = SEResNetBackbone(dtype=self.dtype, name="cnn")(x, train=train)
+        feats = SEResNetBackbone(out_channels=self.backbone_channels,
+                                 num_blocks=tuple(self.num_blocks),
+                                 dtype=self.dtype, name="cnn")(x, train=train)
         # (B, H=4, W, C=512) -> (B, W, H*C=2048). Native flatten order is
         # (H, C); the torch checkpoint converter permutes the head weight from
         # the reference's (C, H) order (`handwritten_ctr_model.py:173`).

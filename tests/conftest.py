@@ -9,11 +9,18 @@ jax import.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The environment's sitecustomize may import jax (registering a TPU plugin)
+# before this conftest runs, making the env vars above too late — force the
+# platform through the live config instead.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       "/tmp/jax_cache_hctr_tests")
