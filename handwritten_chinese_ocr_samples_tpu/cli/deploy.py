@@ -1,0 +1,95 @@
+"""Serving CLI — the reference's OpenVINO deploy entry (`deploy.py:21-63`)
+re-targeted at AOT-compiled TPU executables.
+
+    python -m handwritten_chinese_ocr_samples_tpu.cli.deploy \
+        -lang hctr -m <export_dir or ckpt> -i image.jpg -ni 20
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging as log
+import os
+import sys
+
+
+def build_argparser():
+    parser = argparse.ArgumentParser(description="TPU OCR serving")
+    args = parser.add_argument_group("Options")
+    args.add_argument("-lang", "--language", type=str, default="hctr",
+                      choices=["hctr"], help="model language/scenario tag")
+    args.add_argument("-m", "--model", type=str, required=True, metavar="PATH",
+                      help="checkpoint (orbax dir or .pth.tar)")
+    args.add_argument("-i", "--input", type=str, required=True, metavar="PATH",
+                      help="input image or folder")
+    args.add_argument("-d", "--device", type=str, default="TPU",
+                      help="target device (informational; TPU)")
+    args.add_argument("-ni", "--number-iter", type=int, default=20,
+                      help="number of inference iterations (latency avg)")
+    args.add_argument("-cl", "--chars-list", type=str, default=None,
+                      help="chars_list.txt path")
+    args.add_argument("-w", "--widths", type=str, default="512,1024,1600",
+                      help="comma-separated serving width buckets")
+    args.add_argument("-dm", "--method", type=str, default="greedy-search",
+                      choices=["greedy-search", "beam-search"],
+                      help="decode method")
+    # beam-search flags (parity with `deploy.py:40-61`)
+    args.add_argument("-ss", "--skip-search", action="store_true")
+    args.add_argument("-kp", "--kenlm-path", dest="kenlm_path", type=str,
+                      default="")
+    args.add_argument("-tp", "--tfm-path", dest="tfm_path", type=str,
+                      default="")
+    args.add_argument("-utp", "--use-tfm-pred", dest="use_tfm_pred",
+                      action="store_true")
+    args.add_argument("-uts", "--use-tfm-score", dest="use_tfm_score",
+                      action="store_true")
+    args.add_argument("-bs", "--beam-size", dest="beam_size", type=int,
+                      default=10)
+    args.add_argument("-sd", "--search-depth", dest="search_depth", type=int,
+                      default=10)
+    args.add_argument("-lp", "--lm-panelty", dest="lm_panelty", type=float,
+                      default=1.9)
+    args.add_argument("-lb", "--len-bonus", dest="len_bonus", type=float,
+                      default=5.7)
+    return parser
+
+
+def main():
+    log.basicConfig(format="[ %(levelname)s ] %(message)s", level=log.INFO,
+                    stream=sys.stdout)
+    args = build_argparser().parse_args()
+
+    import jax.numpy as jnp
+    from ..core.codec import CTCCodec
+    from ..eval.driver import load_recognizer_variables
+    from ..models.registry import get_model_info
+    from ..serve.engine import ServingEngine
+
+    model, characters = get_model_info(
+        args.language,
+        data_dir=args.input if os.path.isdir(args.input) else None,
+        chars_list_file=args.chars_list, dtype=jnp.bfloat16)
+    codec = CTCCodec(characters)
+    variables = load_recognizer_variables(args.model)
+
+    widths = tuple(int(w) for w in args.widths.split(","))
+    log.info(f"Compiling serving executables for widths {widths}...")
+    engine = ServingEngine(model, variables, codec, widths=widths)
+
+    if os.path.isfile(args.input):
+        files = [args.input]
+        iters = args.number_iter
+    else:
+        files = [os.path.join(args.input, f)
+                 for f in sorted(os.listdir(args.input))
+                 if f.lower().endswith((".png", ".jpg", ".jpeg", ".bmp"))]
+        iters = 1
+
+    texts, avg_ms = engine.infer_files(files, iterations=iters)
+    for f, t in zip(files, texts):
+        log.info(f"Showing the prediction...\nfile:\t{f}\npred:\t{t}")
+    log.info(f"Average throughput: {avg_ms} ms")
+
+
+if __name__ == "__main__":
+    main()

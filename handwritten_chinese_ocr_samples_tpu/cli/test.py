@@ -1,0 +1,117 @@
+"""Eval/inference CLI — flag surface mirrors the reference (`test.py:24-106`).
+
+    # single image, greedy
+    python -m handwritten_chinese_ocr_samples_tpu.cli.test \
+        -m hctr -f <ckpt> -i image.jpg -dm greedy-search
+
+    # benchmark CER on a test set
+    python -m ...cli.test -m hctr -f <ckpt> -i <data_dir> -bm -b 32
+
+    # beam search + JAX LM, grid search over (lm_panelty, len_bonus)
+    python -m ...cli.test -m hctr -f <ckpt> -i <data_dir> -bm \
+        -dm beam-search -utp -uts -tp <lm_dir> -gs
+
+Accepts reference ``.pth.tar`` checkpoints directly (bit-parity eval runs).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def build_argparser():
+    parser = argparse.ArgumentParser(description="TPU OCR textline testing")
+    args = parser.add_argument_group("Options")
+    args.add_argument("-m", "--model-type", dest="model_type", type=str,
+                      required=True, choices=["hctr", "innovation"],
+                      help="target model for different languages/scenarios")
+    args.add_argument("-f", "--model-file", dest="model_file", type=str,
+                      metavar="PATH", required=True,
+                      help="checkpoint: orbax dir or reference .pth.tar")
+    args.add_argument("-i", "--input", dest="input", type=str,
+                      metavar="PATH", required=True,
+                      help="path to input image or testset")
+    args.add_argument("-b", "--batch-size", dest="batch_size", type=int,
+                      metavar="N", default=1, help="mini-batch size")
+    args.add_argument("-bm", "--benchmark-mode", dest="benchmark_mode",
+                      action="store_true",
+                      help="benchmark CER on input testset")
+    args.add_argument("-dm", "--decode-method", dest="decode_method",
+                      type=str, default="beam-search",
+                      choices=["greedy-search", "beam-search"],
+                      help="method to decode the CTC output")
+    args.add_argument("-ss", "--skip-search", dest="skip_search",
+                      action="store_true",
+                      help="skip high-confidence frames in beam search")
+    args.add_argument("-kp", "--kenlm-path", dest="kenlm_path", type=str,
+                      metavar="PATH", default="",
+                      help="ngram model for scoring in beam search")
+    args.add_argument("-utp", "--use-tfm-pred", dest="use_tfm_pred",
+                      action="store_true",
+                      help="use transformer LM for candidate prediction")
+    args.add_argument("-tp", "--transformer-path", dest="tfm_path", type=str,
+                      metavar="DIR", default="",
+                      help="path to JAX char-LM dir (dict.txt+config+weights)")
+    args.add_argument("-uts", "--use-tfm-score", dest="use_tfm_score",
+                      action="store_true",
+                      help="use transformer LM for scoring in beam search")
+    args.add_argument("-bs", "--beam-size", dest="beam_size", type=int,
+                      default=10, help="beam size for beam search")
+    args.add_argument("-sd", "--search-depth", dest="search_depth", type=int,
+                      default=10, help="search depth (top-k) for beam search")
+    args.add_argument("-lp", "--lm-panelty", dest="lm_panelty", type=float,
+                      default=0.8, help="LM penalty for sentence scoring")
+    args.add_argument("-lb", "--len-bonus", dest="len_bonus", type=float,
+                      default=4.8, help="length bonus for sentence scoring")
+    args.add_argument("-jw", "--workers", type=int, metavar="N", default=4,
+                      help="number of data loading workers (benchmark mode)")
+    args.add_argument("-tv", "--test-verbose", dest="test_verbose",
+                      action="store_true",
+                      help="print PRE/TRU pairs during testing")
+    args.add_argument("-pf", "--print-freq", dest="print_freq", type=int,
+                      metavar="N", default=100, help="log print frequency")
+    args.add_argument("--chars-list", dest="chars_list", type=str, default=None,
+                      help="explicit chars_list.txt path")
+    # hyper-param grid search (`test.py:92-105`)
+    args.add_argument("-gs", "--grid-search", action="store_true",
+                      help="grid search lm_panelty and len_bonus")
+    args.add_argument("-al", "--alpha-lower", type=float, default=0.7)
+    args.add_argument("-au", "--alpha-upper", type=float, default=1.1)
+    args.add_argument("-ac", "--alpha-count", type=int, default=10)
+    args.add_argument("-bl", "--beta-lower", type=float, default=4.2)
+    args.add_argument("-bu", "--beta-upper", type=float, default=6.6)
+    args.add_argument("-bc", "--beta-count", type=int, default=25)
+    return parser
+
+
+def run(args):
+    from ..eval.driver import run_benchmark, run_single
+    if args.benchmark_mode:
+        return run_benchmark(args)
+    return run_single(args)
+
+
+def main():
+    args = build_argparser().parse_args()
+    if not args.grid_search:
+        run(args)
+        return
+    # Grid search over (alpha=lm_panelty, beta=len_bonus), `test.py:349-382`.
+    best = (None, None, float("inf"))
+    for alpha in np.linspace(args.alpha_lower, args.alpha_upper,
+                             args.alpha_count):
+        for beta in np.linspace(args.beta_lower, args.beta_upper,
+                                args.beta_count):
+            args.lm_panelty = float(alpha)
+            args.len_bonus = float(beta)
+            print(f"grid search: lm_panelty={alpha:.3f} len_bonus={beta:.3f}")
+            cer = run(args)
+            if cer is not None and cer < best[2]:
+                best = (alpha, beta, cer)
+    print(f"best: lm_panelty={best[0]} len_bonus={best[1]} CER={best[2]}")
+
+
+if __name__ == "__main__":
+    main()

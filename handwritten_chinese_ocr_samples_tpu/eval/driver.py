@@ -1,0 +1,177 @@
+"""Evaluation/inference driver (the reference's `test.py:109-306` equivalent).
+
+Supports both checkpoint formats: this framework's orbax directories and the
+reference's ``.pth.tar`` files (via ``compat`` — enabling bit-parity eval
+runs against PyTorch-trained weights).
+
+Decode methods: on-device greedy (production path) or context beam search
+with an optional LM (KenLM n-gram or the first-party JAX char LM).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+def load_recognizer_variables(model_file: str, state_template=None):
+    """Checkpoint file/dir -> flax variables {params, batch_stats}."""
+    if model_file.endswith((".pth.tar", ".pth", ".pt")):
+        from ..compat.torch_convert import convert_checkpoint
+        return convert_checkpoint(model_file)
+    import orbax.checkpoint as ocp
+    payload = ocp.PyTreeCheckpointer().restore(os.path.abspath(model_file))
+    if "params" in payload:
+        return {"params": payload["params"],
+                "batch_stats": payload.get("batch_stats", {})}
+    raise ValueError(f"unrecognized checkpoint layout at {model_file}")
+
+
+def build_beam_decoder(codec, args):
+    """Wire up beam search from CLI flags (mirrors
+    ``codec.set_beam_search``, `ctc_codec.py:101-122`)."""
+    from ..decode.beam_host import BeamSearchConfig, BeamSearchDecoder
+    from ..decode.lm_interface import JaxLMBackend, KenLMBackend, NullLM
+
+    lm = None
+    if args.use_tfm_pred or args.use_tfm_score:
+        from ..lm.infer import LMScorer
+        from ..lm.io import load_lm
+        lm_model, lm_vars, tokenizer = load_lm(args.tfm_path)
+        lm = JaxLMBackend(LMScorer(lm_model, lm_vars, tokenizer))
+    elif args.kenlm_path:
+        lm = KenLMBackend(args.kenlm_path)
+    cfg = BeamSearchConfig(
+        beam_size=args.beam_size, search_depth=args.search_depth,
+        lm_panelty=args.lm_panelty, len_bonus=args.len_bonus,
+        use_lm_pred=args.use_tfm_pred,
+        use_lm_score=(args.use_tfm_score or bool(args.kenlm_path)),
+        skip_search=args.skip_search)
+    return BeamSearchDecoder(codec, lm or NullLM(), cfg)
+
+
+class EvalSession:
+    """Loaded model + decode pipeline shared by single/benchmark modes."""
+
+    def __init__(self, args):
+        import jax
+        import jax.numpy as jnp
+        from ..core.codec import CTCCodec
+        from ..models.registry import get_model_info
+
+        self.args = args
+        input_path = args.input if os.path.isdir(args.input) else None
+        self.model, characters = get_model_info(
+            args.model_type, data_dir=input_path,
+            chars_list_file=getattr(args, "chars_list", None),
+            dtype=jnp.bfloat16)
+        self.codec = CTCCodec(characters)
+        self.variables = load_recognizer_variables(args.model_file)
+        self.use_beam = args.decode_method == "beam-search"
+        self.beam = build_beam_decoder(self.codec, args) if self.use_beam \
+            else None
+
+        model = self.model
+        unknown_id = self.codec.unknown_id
+
+        @jax.jit
+        def forward(variables, x):
+            return model.apply(variables, x, train=False)
+
+        from ..ops.decode import greedy_decode_device
+
+        @jax.jit
+        def forward_greedy(variables, x):
+            logits = model.apply(variables, x, train=False)
+            return greedy_decode_device(logits, None, unknown_id=unknown_id)
+
+        self._forward = forward
+        self._forward_greedy = forward_greedy
+
+    # ------------------------------------------------------------- decode
+    def decode_batch(self, images_nhwc: np.ndarray) -> Tuple[List[str], float]:
+        """(B, H, W, 1) normalized f32 -> texts, elapsed seconds."""
+        import jax.numpy as jnp
+        x = jnp.asarray(images_nhwc)
+        t0 = time.time()
+        if self.use_beam:
+            logits = np.asarray(self._forward(self.variables, x))
+            texts = self.beam.decode(logits.transpose(1, 0, 2))
+        else:
+            chars, lengths = self._forward_greedy(self.variables, x)
+            chars = np.asarray(chars)
+            lengths = np.asarray(lengths)
+            texts = ["".join(self.codec.characters[c]
+                             for c in chars[b, : int(lengths[b])])
+                     for b in range(chars.shape[0])]
+        return texts, time.time() - t0
+
+
+def run_single(args) -> None:
+    """Single image / ad-hoc folder mode (`test.py:163-201`)."""
+    from ..data.bucketing import normalize_pad_batch
+    from ..data.dataset import read_resize_image
+
+    session = EvalSession(args)
+    h = session.model.img_height
+
+    if os.path.isfile(args.input):
+        files = [args.input]
+    else:
+        files = [os.path.join(args.input, f)
+                 for f in sorted(os.listdir(args.input))
+                 if f.lower().endswith((".png", ".jpg", ".jpeg", ".bmp"))]
+    images = [read_resize_image(f, h) for f in files]
+
+    bs = args.batch_size
+    for i in range(0, len(images), bs):
+        chunk = images[i: i + bs]
+        maxW = max(im.shape[1] for im in chunk)
+        batch, _ = normalize_pad_batch(chunk, maxW)
+        texts, dt = session.decode_batch(batch)
+        print(f"max_width: {maxW}, throughput: "
+              f"{dt / len(chunk) * 1000:.2f} ms/img")
+        for f, t in zip(files[i: i + bs], texts):
+            print(f"file:\t{f}\npred:\t{t}")
+
+
+def run_benchmark(args) -> float:
+    """Test-set CER benchmark (`test.py:230-306`); returns CER."""
+    from ..data.bucketing import AlignCollate, BucketSpec
+    from ..data.dataset import ImageDataset
+    from ..data.loader import DataLoader
+    from .metrics import cer_counts
+
+    if not os.path.isdir(args.input):
+        raise AssertionError("Input should be a folder under benchmark mode.")
+
+    session = EvalSession(args)
+    model = session.model
+    dataset = ImageDataset(args.input, (1, model.img_height), "test",
+                           batch_size=args.batch_size)
+    collate = AlignCollate(imgH=model.img_height, PAD=model.pad_mode,
+                           bucket_spec=BucketSpec())
+    loader = DataLoader(dataset, args.batch_size, collate,
+                        num_workers=args.workers)
+
+    dist_sum, len_sum, n_img, t_total = 0, 0, 0, 0.0
+    for i, batch in enumerate(loader):
+        texts, dt = session.decode_batch(batch["images"])
+        t_total += dt
+        n_img += len(texts)
+        d, t = cer_counts(texts, list(batch["labels"]))
+        dist_sum += d
+        len_sum += t
+        if args.test_verbose:
+            for p, g in zip(texts, batch["labels"]):
+                print(f"PRE: {p}\nTRU: {g}")
+        if (i + 1) % args.print_freq == 0:
+            print(f"[{i + 1}/{len(loader)}] CER so far: "
+                  f"{dist_sum / max(len_sum, 1):.4f} "
+                  f"({t_total / max(n_img, 1) * 1000:.1f} ms/img)")
+    cer = dist_sum / max(len_sum, 1)
+    print(f"Total Test CER: {cer}")
+    return cer
