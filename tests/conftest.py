@@ -37,3 +37,21 @@ REFERENCE_PATH = os.environ.get("HCTR_REFERENCE_PATH", "/root/reference")
 
 def reference_available() -> bool:
     return os.path.isdir(REFERENCE_PATH)
+
+
+def _ensure_native_built():
+    """Build the C++ components once so native tests run (best effort)."""
+    import shutil
+    import subprocess
+    native = os.path.join(REPO_ROOT, "handwritten_chinese_ocr_samples_tpu",
+                          "native")
+    if not shutil.which("make") or not shutil.which("g++"):
+        return
+    targets = [os.path.join(native, "libeditdistance.so"),
+               os.path.join(native, "dgr2png")]
+    if all(os.path.exists(t) for t in targets):
+        return
+    subprocess.run(["make", "-C", native], capture_output=True, timeout=300)
+
+
+_ensure_native_built()
