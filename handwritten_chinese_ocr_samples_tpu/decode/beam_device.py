@@ -1,0 +1,251 @@
+"""Batched CTC prefix beam search on device (jit + vmap + lax.scan).
+
+The reference's beam search is a per-sample, per-timestep Python loop with
+dict-keyed prefix merging (`ctc_codec.py:183-285`) — the dominant inference
+bottleneck (SURVEY.md §3.3). This module reformulates it with fixed shapes so
+the whole search runs inside one XLA program, vmapped over the batch:
+
+  * beams are fixed-size arrays: prefixes ``(BM, L)``, lengths ``(BM,)``,
+    blank/non-blank log-masses ``pb/pnb (BM,)``;
+  * each step enumerates ``2*BM*K`` candidate rows (extend / stay), keyed by
+    a rolling 64-bit prefix hash (split into two int32 lanes for TPU), and
+    merges equal prefixes with a sort + segmented logaddexp — the vectorized
+    equivalent of the reference's dict bucketing (`ctc_codec.py:233-265`);
+  * search runs to ``last greedy char + 4`` frames, like the reference
+    (`ctc_codec.py:198-199`), via per-step masking inside ``lax.scan``;
+  * scoring: ``total = logaddexp(pb, pnb) + len*len_bonus`` (+ an optional
+    on-device LM hook) — the ``use_lm_score=False`` configuration of the
+    host decoder, against which equivalence is tested
+    (`tests/test_beam_device.py`).
+
+The LM-fused variant (KV-cached incremental transformer scoring per
+extension) plugs into ``score_fn``; without it the entire decode is a single
+TPU executable with only the final prefixes crossing to the host.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = jnp.float32(-1e30)  # avoids -inf - -inf = nan in masked math
+
+# Rolling-hash multipliers (two independent 32-bit lanes ~ one 64-bit key).
+_H1_MUL = np.int32(1000003)
+_H2_MUL = np.int32(998244353 % 2147483647)
+_H1_SEED = np.int32(17)
+_H2_SEED = np.int32(29)
+
+
+class BeamState(NamedTuple):
+    prefixes: jnp.ndarray  # (BM, L) int32
+    lengths: jnp.ndarray   # (BM,) int32
+    pb: jnp.ndarray        # (BM,) f32
+    pnb: jnp.ndarray       # (BM,) f32
+    h1: jnp.ndarray        # (BM,) int32 rolling hash lane 1
+    h2: jnp.ndarray        # (BM,) int32 rolling hash lane 2
+
+
+def _hash_extend(h1, h2, c):
+    c = c.astype(jnp.int32)
+    return (h1 * _H1_MUL + c + jnp.int32(1),
+            h2 * _H2_MUL + c * jnp.int32(2654435761 % 2147483647) + jnp.int32(7))
+
+
+def _logaddexp(a, b):
+    mx = jnp.maximum(a, b)
+    mn = jnp.minimum(a, b)
+    out = mx + jnp.log1p(jnp.exp(mn - mx))
+    return jnp.where(mx <= NEG_INF * 0.5, NEG_INF, out)
+
+
+def _segment_logaddexp_sorted(vals, seg_starts):
+    """Merge sorted-adjacent rows: for rows sorted by key, ``seg_starts``
+    marks the first row of each segment; returns per-row segment totals
+    (valid at segment starts)."""
+    # log-sum-exp via max-shift within segments using cumulative ops
+    n = vals.shape[0]
+    seg_id = jnp.cumsum(seg_starts.astype(jnp.int32)) - 1  # (n,)
+    # segment max
+    seg_max = jax.ops.segment_max(vals, seg_id, num_segments=n)
+    vmax = seg_max[seg_id]
+    safe = jnp.where(vals <= NEG_INF * 0.5, 0.0,
+                     jnp.exp(vals - jnp.where(vmax <= NEG_INF * 0.5, 0.0,
+                                              vmax)))
+    seg_sum = jax.ops.segment_sum(safe, seg_id, num_segments=n)
+    out = jnp.where(seg_max <= NEG_INF * 0.5, NEG_INF,
+                    seg_max + jnp.log(jnp.maximum(seg_sum, 1e-30)))
+    return out  # (n,) indexed by segment id
+
+
+@partial(jax.jit, static_argnames=("beam_size", "depth", "unknown_id",
+                                   "blank_id"))
+def beam_search_device(
+    logp: jnp.ndarray,            # (B, T, D) log-softmax
+    *,
+    beam_size: int = 10,
+    depth: int = 10,
+    unknown_id: int,
+    blank_id: int = 0,
+    len_bonus: float = 0.0,
+    suffix_frames: int = 4,
+):
+    """Batched prefix beam search. Returns (prefixes (B, T) int32,
+    lengths (B,)) for the best beam of each batch item."""
+    B, T, D = logp.shape
+    L = T  # worst-case prefix length
+
+    def decode_one(lp):  # (T, D)
+        # ---- greedy top line end step (`ctc_codec.py:188-199`)
+        arg = jnp.argmax(lp, axis=1).astype(jnp.int32)          # (T,)
+        prev = jnp.concatenate([jnp.array([-1], jnp.int32), arg[:-1]])
+        keep = (arg != blank_id) & (arg != unknown_id) & (arg != prev)
+        any_keep = jnp.any(keep)
+        last_keep = jnp.max(jnp.where(keep, jnp.arange(T), -1))
+        end_step = jnp.where(any_keep,
+                             jnp.minimum(last_keep + suffix_frames, T), 0)
+
+        BM, K = beam_size, depth
+        state = BeamState(
+            prefixes=jnp.zeros((BM, L), jnp.int32),
+            lengths=jnp.zeros((BM,), jnp.int32),
+            pb=jnp.full((BM,), NEG_INF).at[0].set(0.0),
+            pnb=jnp.full((BM,), NEG_INF),
+            h1=jnp.full((BM,), _H1_SEED),
+            h2=jnp.full((BM,), _H2_SEED),
+        )
+
+        def step(state, t):
+            lp_t = lp[t]                                        # (D,)
+            active = t < end_step
+
+            cand_p, cand = jax.lax.top_k(lp_t, K)               # (K,), (K,)
+            cand = cand.astype(jnp.int32)
+
+            prob = _logaddexp(state.pb, state.pnb)              # (BM,)
+            tail = jnp.where(
+                state.lengths > 0,
+                state.prefixes[jnp.arange(BM),
+                               jnp.maximum(state.lengths - 1, 0)],
+                jnp.int32(-1))                                  # (BM,)
+
+            # ---- enumerate rows: 2 per (beam, cand)
+            bi = jnp.repeat(jnp.arange(BM), K)                  # (BM*K,)
+            cj = jnp.tile(cand, BM)                             # (BM*K,)
+            pj = jnp.tile(cand_p, BM)                           # (BM*K,)
+
+            is_blank = cj == blank_id
+            is_unk = cj >= unknown_id
+            is_rep = cj == tail[bi]
+            beam_dead = prob[bi] <= NEG_INF * 0.5
+
+            # Row A: the "extend" row (prefix + c), or for blank the "stay"
+            # row contribution to pb.
+            a_ext = (~is_blank) & (~is_unk) & (~beam_dead)
+            a_pb = jnp.where(is_blank & ~beam_dead & ~is_unk,
+                             prob[bi] + pj, NEG_INF)
+            a_pnb = jnp.where(
+                a_ext,
+                jnp.where(is_rep, state.pb[bi] + pj, prob[bi] + pj),
+                NEG_INF)
+            a_is_ext = a_ext
+            # Row B: repeat-merge contribution to the unchanged prefix's pnb
+            # (`ctc_codec.py:263-265`).
+            b_pnb = jnp.where(is_rep & ~is_blank & ~is_unk & ~beam_dead,
+                              state.pnb[bi] + pj, NEG_INF)
+
+            n_rows = 2 * BM * K
+            row_parent = jnp.concatenate([bi, bi])
+            row_char = jnp.concatenate([cj, cj])
+            row_is_ext = jnp.concatenate(
+                [a_is_ext, jnp.zeros_like(a_is_ext)])
+            row_pb = jnp.concatenate([a_pb, jnp.full_like(a_pb, NEG_INF)])
+            row_pnb = jnp.concatenate([a_pnb, b_pnb])
+
+            # ---- keys
+            ph1, ph2 = state.h1[row_parent], state.h2[row_parent]
+            eh1, eh2 = _hash_extend(ph1, ph2, row_char)
+            kh1 = jnp.where(row_is_ext, eh1, ph1)
+            kh2 = jnp.where(row_is_ext, eh2, ph2)
+            row_len = state.lengths[row_parent] + row_is_ext.astype(jnp.int32)
+            row_dead = (row_pb <= NEG_INF * 0.5) & (row_pnb <= NEG_INF * 0.5)
+            # dead rows get a unique sink key so they never merge
+            kh1 = jnp.where(row_dead, jnp.int32(0x7FFFFFF0), kh1)
+            kh2 = jnp.where(row_dead, jnp.arange(n_rows, dtype=jnp.int32),
+                            kh2)
+
+            # ---- sort by (kh1, kh2) and merge equal keys (lexicographic;
+            # int64 is unavailable on TPU by default, so two int32 lanes)
+            order = jnp.lexsort((kh2, kh1))
+            kh1_s, kh2_s = kh1[order], kh2[order]
+            seg_start = jnp.concatenate(
+                [jnp.array([True]),
+                 (kh1_s[1:] != kh1_s[:-1]) | (kh2_s[1:] != kh2_s[:-1])])
+            pb_s = row_pb[order]
+            pnb_s = row_pnb[order]
+            seg_id = jnp.cumsum(seg_start.astype(jnp.int32)) - 1
+            pb_m = _segment_logaddexp_sorted(pb_s, seg_start)[seg_id]
+            pnb_m = _segment_logaddexp_sorted(pnb_s, seg_start)[seg_id]
+            dead_s = row_dead[order]
+
+            # score only at segment starts; others suppressed
+            length_s = row_len[order]
+            total = _logaddexp(pb_m, pnb_m) + \
+                length_s.astype(jnp.float32) * len_bonus
+            total = jnp.where(seg_start & ~dead_s, total, NEG_INF)
+
+            # ---- select top BM segments
+            top_tot, top_idx = jax.lax.top_k(total, BM)         # rows indices
+            sel = order[top_idx]                                # original row
+            sel_parent = row_parent[sel]
+            sel_ext = row_is_ext[sel]
+            sel_char = row_char[sel]
+            sel_alive = top_tot > NEG_INF * 0.5
+
+            new_prefixes = state.prefixes[sel_parent]
+            app_pos = jnp.minimum(state.lengths[sel_parent], L - 1)
+            appended = new_prefixes.at[jnp.arange(BM), app_pos].set(
+                jnp.where(sel_ext, sel_char,
+                          new_prefixes[jnp.arange(BM), app_pos]))
+            new_prefixes = jnp.where(sel_ext[:, None], appended, new_prefixes)
+            new_lengths = state.lengths[sel_parent] + sel_ext.astype(jnp.int32)
+            nh1, nh2 = _hash_extend(state.h1[sel_parent],
+                                    state.h2[sel_parent], sel_char)
+            new_h1 = jnp.where(sel_ext, nh1, state.h1[sel_parent])
+            new_h2 = jnp.where(sel_ext, nh2, state.h2[sel_parent])
+            new_pb = jnp.where(sel_alive, pb_m[top_idx], NEG_INF)
+            new_pnb = jnp.where(sel_alive, pnb_m[top_idx], NEG_INF)
+
+            new_state = BeamState(
+                prefixes=jnp.where(active, new_prefixes, state.prefixes),
+                lengths=jnp.where(active, new_lengths, state.lengths),
+                pb=jnp.where(active, new_pb, state.pb),
+                pnb=jnp.where(active, new_pnb, state.pnb),
+                h1=jnp.where(active, new_h1, state.h1),
+                h2=jnp.where(active, new_h2, state.h2),
+            )
+            return new_state, ()
+
+        state, _ = jax.lax.scan(step, state, jnp.arange(T))
+        # best beam = index 0 (top_k orders descending); when no step ran,
+        # beam 0 is the empty prefix
+        return state.prefixes[0], state.lengths[0]
+
+    return jax.vmap(decode_one)(logp)
+
+
+def beam_texts(codec, logp, beam_size=10, depth=10, len_bonus=0.0):
+    """Host convenience wrapper: device search -> strings."""
+    prefixes, lengths = beam_search_device(
+        jnp.asarray(logp), beam_size=beam_size, depth=depth,
+        unknown_id=codec.unknown_id, blank_id=codec.blank_id,
+        len_bonus=len_bonus)
+    prefixes = np.asarray(prefixes)
+    lengths = np.asarray(lengths)
+    return ["".join(codec.characters[c]
+                    for c in prefixes[b, : int(lengths[b])])
+            for b in range(prefixes.shape[0])]
