@@ -82,26 +82,27 @@ def _segment_logaddexp_sorted(vals, seg_starts):
     return out  # (n,) indexed by segment id
 
 
-@partial(jax.jit, static_argnames=("beam_size", "depth", "unknown_id",
-                                   "blank_id"))
-def beam_search_device(
-    logp: jnp.ndarray,            # (B, T, D) log-softmax
+@partial(jax.jit, static_argnames=("beam_size", "unknown_id", "blank_id"))
+def beam_search_from_topk(
+    cand_vals: jnp.ndarray,       # (B, T, K) top-K log-probs, descending
+    cand_idx: jnp.ndarray,        # (B, T, K) class indices
     *,
     beam_size: int = 10,
-    depth: int = 10,
     unknown_id: int,
     blank_id: int = 0,
     len_bonus: float = 0.0,
     suffix_frames: int = 4,
 ):
-    """Batched prefix beam search. Returns (prefixes (B, T) int32,
-    lengths (B,)) for the best beam of each batch item."""
-    B, T, D = logp.shape
+    """Batched prefix beam search over precomputed per-frame top-K
+    candidates (the only posterior information the search consumes; pair
+    with ``ops.topk_logsoftmax`` to avoid materializing the full (B, T, D)
+    log-prob tensor). Returns (prefixes (B, T) int32, lengths (B,))."""
+    B, T, K = cand_vals.shape
     L = T  # worst-case prefix length
 
-    def decode_one(lp):  # (T, D)
+    def decode_one(vals, idxs):  # (T, K) each
         # ---- greedy top line end step (`ctc_codec.py:188-199`)
-        arg = jnp.argmax(lp, axis=1).astype(jnp.int32)          # (T,)
+        arg = idxs[:, 0]                                        # (T,)
         prev = jnp.concatenate([jnp.array([-1], jnp.int32), arg[:-1]])
         keep = (arg != blank_id) & (arg != unknown_id) & (arg != prev)
         any_keep = jnp.any(keep)
@@ -109,7 +110,7 @@ def beam_search_device(
         end_step = jnp.where(any_keep,
                              jnp.minimum(last_keep + suffix_frames, T), 0)
 
-        BM, K = beam_size, depth
+        BM = beam_size
         state = BeamState(
             prefixes=jnp.zeros((BM, L), jnp.int32),
             lengths=jnp.zeros((BM,), jnp.int32),
@@ -120,11 +121,9 @@ def beam_search_device(
         )
 
         def step(state, t):
-            lp_t = lp[t]                                        # (D,)
             active = t < end_step
-
-            cand_p, cand = jax.lax.top_k(lp_t, K)               # (K,), (K,)
-            cand = cand.astype(jnp.int32)
+            cand_p = vals[t]                                    # (K,)
+            cand = idxs[t].astype(jnp.int32)                    # (K,)
 
             prob = _logaddexp(state.pb, state.pnb)              # (BM,)
             tail = jnp.where(
@@ -235,7 +234,48 @@ def beam_search_device(
         # beam 0 is the empty prefix
         return state.prefixes[0], state.lengths[0]
 
-    return jax.vmap(decode_one)(logp)
+    return jax.vmap(decode_one)(cand_vals, cand_idx)
+
+
+@partial(jax.jit, static_argnames=("beam_size", "depth", "unknown_id",
+                                   "blank_id"))
+def beam_search_device(
+    logp: jnp.ndarray,            # (B, T, D) log-softmax
+    *,
+    beam_size: int = 10,
+    depth: int = 10,
+    unknown_id: int,
+    blank_id: int = 0,
+    len_bonus: float = 0.0,
+    suffix_frames: int = 4,
+):
+    """Full-posterior entry: XLA top-K then the fixed-shape search."""
+    cand_vals, cand_idx = jax.lax.top_k(logp, depth)
+    return beam_search_from_topk(
+        cand_vals, cand_idx.astype(jnp.int32), beam_size=beam_size,
+        unknown_id=unknown_id, blank_id=blank_id, len_bonus=len_bonus,
+        suffix_frames=suffix_frames)
+
+
+@partial(jax.jit, static_argnames=("beam_size", "depth", "unknown_id",
+                                   "blank_id"))
+def beam_search_fused(
+    logits: jnp.ndarray,          # (B, T, D) RAW logits
+    *,
+    beam_size: int = 10,
+    depth: int = 10,
+    unknown_id: int,
+    blank_id: int = 0,
+    len_bonus: float = 0.0,
+    suffix_frames: int = 4,
+):
+    """Production TPU entry: Pallas fused log-softmax+top-K feeds the
+    search — the (B, T, D) log-prob tensor is never materialized."""
+    from ..ops.topk_logsoftmax import topk_logsoftmax
+    cand_vals, cand_idx, _blank = topk_logsoftmax(logits, k=depth)
+    return beam_search_from_topk(
+        cand_vals, cand_idx, beam_size=beam_size, unknown_id=unknown_id,
+        blank_id=blank_id, len_bonus=len_bonus, suffix_frames=suffix_frames)
 
 
 def beam_texts(codec, logp, beam_size=10, depth=10, len_bonus=0.0):

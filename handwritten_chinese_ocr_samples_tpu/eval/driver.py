@@ -73,6 +73,13 @@ class EvalSession:
         self.use_beam = args.decode_method == "beam-search"
         self.beam = build_beam_decoder(self.codec, args) if self.use_beam \
             else None
+        # No-LM full search runs entirely on device (fused Pallas top-K +
+        # scan beam search); LM-fused and skip-search modes use the host
+        # decoder with batched LM calls.
+        from ..decode.lm_interface import NullLM
+        self.device_beam = (
+            self.use_beam and isinstance(self.beam.lm, NullLM)
+            and not args.skip_search)
 
         model = self.model
         unknown_id = self.codec.unknown_id
@@ -88,8 +95,20 @@ class EvalSession:
             logits = model.apply(variables, x, train=False)
             return greedy_decode_device(logits, None, unknown_id=unknown_id)
 
+        beam_size, depth = args.beam_size, args.search_depth
+        len_bonus = args.len_bonus
+
+        @jax.jit
+        def forward_beam(variables, x):
+            from ..decode.beam_device import beam_search_fused
+            logits = model.apply(variables, x, train=False)
+            return beam_search_fused(
+                logits, beam_size=beam_size, depth=depth,
+                unknown_id=unknown_id, len_bonus=len_bonus)
+
         self._forward = forward
         self._forward_greedy = forward_greedy
+        self._forward_beam = forward_beam
 
     # ------------------------------------------------------------- decode
     def decode_batch(self, images_nhwc: np.ndarray) -> Tuple[List[str], float]:
@@ -97,7 +116,14 @@ class EvalSession:
         import jax.numpy as jnp
         x = jnp.asarray(images_nhwc)
         t0 = time.time()
-        if self.use_beam:
+        if self.use_beam and self.device_beam:
+            prefixes, lengths = self._forward_beam(self.variables, x)
+            prefixes = np.asarray(prefixes)
+            lengths = np.asarray(lengths)
+            texts = ["".join(self.codec.characters[c]
+                             for c in prefixes[b, : int(lengths[b])])
+                     for b in range(prefixes.shape[0])]
+        elif self.use_beam:
             logits = np.asarray(self._forward(self.variables, x))
             texts = self.beam.decode(logits.transpose(1, 0, 2))
         else:
