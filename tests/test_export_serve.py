@@ -1,0 +1,63 @@
+"""StableHLO export round trip + profiling utilities."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from handwritten_chinese_ocr_samples_tpu.core.codec import CTCCodec
+from handwritten_chinese_ocr_samples_tpu.models.hctr import HCTRModel
+from handwritten_chinese_ocr_samples_tpu.serve.export import (
+    export_model, load_exported,
+)
+
+CHARS = "abcdefgh"
+
+
+def tiny_model(num_classes):
+    return HCTRModel(num_classes=num_classes, backbone_channels=64,
+                     num_blocks=(1, 1, 1, 1))
+
+
+def test_export_and_reload(tmp_path):
+    codec = CTCCodec(CHARS)
+    model = tiny_model(codec.num_classes)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.key(0)}, jnp.zeros((1, 128, 64, 1)),
+        train=False)
+
+    meta = export_model(model, variables, str(tmp_path), tag="hctr",
+                        widths=(64,), batch_sizes=(1,),
+                        unknown_id=codec.unknown_id)
+    assert meta["artifacts"] == ["hctr_b1_w64.stablehlo"]
+    assert os.path.isdir(tmp_path / "hctr_weights")
+    assert (tmp_path / "hctr_meta.json").exists()
+
+    fn = load_exported(str(tmp_path / "hctr_b1_w64.stablehlo"))
+    x = np.random.default_rng(0).integers(
+        0, 256, (1, 128, 64, 1), dtype=np.uint8)
+    chars, lengths = fn(variables, jnp.asarray(x))
+
+    # must equal the live model's output
+    from handwritten_chinese_ocr_samples_tpu.ops.decode import (
+        greedy_decode_device)
+    xf = (jnp.asarray(x).astype(jnp.float32) - 127.5) / 127.5
+    logits = model.apply(variables, xf, train=False)
+    want_chars, want_lengths = greedy_decode_device(
+        logits, None, unknown_id=codec.unknown_id)
+    np.testing.assert_array_equal(np.asarray(lengths),
+                                  np.asarray(want_lengths))
+    np.testing.assert_array_equal(np.asarray(chars), np.asarray(want_chars))
+
+
+def test_step_timer():
+    from handwritten_chinese_ocr_samples_tpu.utils.profiling import StepTimer
+    timer = StepTimer(warmup=1)
+    x = jnp.zeros((8,))
+    for _ in range(4):
+        timer.tick(x)
+    assert timer.timed_steps == 3
+    assert timer.steps_per_sec() > 0
