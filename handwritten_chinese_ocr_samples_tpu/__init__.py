@@ -18,5 +18,23 @@ notation `<file>:<line>` relative to the reference checkout.
 
 __version__ = "0.1.0"
 
+# Persistent XLA compilation cache: the deep conv trunk takes minutes to
+# compile; cached executables load in seconds. Opt out with HCTR_NO_CACHE=1
+# or override the location with JAX_COMPILATION_CACHE_DIR.
+import os as _os
+
+if not _os.environ.get("HCTR_NO_CACHE"):
+    try:
+        import jax as _jax
+
+        _cache_dir = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.expanduser("~/.cache/hctr_tpu_jax"))
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 from .core.codec import CTCCodec, load_chars_list  # noqa: F401
 from .models.registry import get_model_info, list_models  # noqa: F401
