@@ -74,6 +74,9 @@ def build_argparser():
                       metavar="N", default=100, help="log print frequency")
     args.add_argument("--chars-list", dest="chars_list", type=str, default=None,
                       help="explicit chars_list.txt path")
+    args.add_argument("--host-beam", dest="host_beam", action="store_true",
+                      help="force the host beam-search decoder (device "
+                           "decoding is the default where supported)")
     # hyper-param grid search (`test.py:92-105`)
     args.add_argument("-gs", "--grid-search", action="store_true",
                       help="grid search lm_panelty and len_bonus")

@@ -1,0 +1,390 @@
+"""LM-fused CTC beam search, fully on device (KV-cached transformer).
+
+Reproduces the reference's full context beam search with transformer
+prediction AND scoring (`ctc_codec.py:183-285` with ``use_tfm_pred`` +
+``use_tfm_score``) as one XLA program per batch item group:
+
+  * visual candidates: per-frame top-K CTC classes (from
+    ``ops.topk_logsoftmax``); linguistic candidates: top-M next characters
+    from each beam's LM distribution (`ctc_codec.py:215-227`), whose CTC
+    posterior is gathered from the raw logits (`ctc_codec.py:236,242`);
+  * prefix extension with pb/pnb logaddexp merge via the same hash-sort
+    machinery as ``beam_device``;
+  * scoring ``pt = lm_score(prefix + suffix) * lm_panelty +
+    len(prefix) * len_bonus`` (`ctc_codec.py:267-274`): the prefix part is
+    maintained incrementally (one KV-cached LM step per frame per beam);
+    the suffix part (next <=4 greedy chars, re-scored every frame because
+    the suffix changes with t) comes from a grouped *peek* that attends
+    each parent beam's cache plus transient scratch — nothing is ever
+    re-scored from scratch, unlike the reference's per-(beam, frame) full
+    transformer calls (`transformer_infer.py:41-60`);
+  * after top-``BM`` selection, caches are gathered by parent and stepped
+    once with the extension character (masked for stay beams).
+
+The characters live in two id spaces: CTC class ids (blank 0, chars 1..N,
+unknown N+1) and LM token ids (specials 0..3, chars 4..). ``codec2lm`` /
+``lm2codec`` lookup tables translate between them.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..lm.cached import CachedLM, LMCache
+from .beam_device import (_hash_extend, _logaddexp,
+                          _segment_logaddexp_sorted, NEG_INF,
+                          _H1_SEED, _H2_SEED)
+
+
+def make_id_tables(codec, tokenizer):
+    """codec<->LM id lookup tables (int32 numpy; -1 = no mapping)."""
+    D = codec.num_classes
+    V = tokenizer.vocab_size
+    codec2lm = np.full((D,), tokenizer.unk_index, dtype=np.int32)
+    lm2codec = np.full((V,), -1, dtype=np.int32)
+    for ch, cid in codec.dict.items():
+        if ch in ("<blank>", "<unknown>"):
+            continue
+        lid = tokenizer.indices.get(ch)
+        if lid is not None:
+            codec2lm[cid] = lid
+            lm2codec[lid] = cid
+    return codec2lm, lm2codec
+
+
+class LMBeamState(NamedTuple):
+    prefixes: jnp.ndarray      # (BM, L) codec ids
+    lengths: jnp.ndarray       # (BM,)
+    pb: jnp.ndarray            # (BM,)
+    pnb: jnp.ndarray           # (BM,)
+    h1: jnp.ndarray            # (BM,)
+    h2: jnp.ndarray            # (BM,)
+    prefix_score: jnp.ndarray  # (BM,) sum positional logP of prefix chars
+    next_logp: jnp.ndarray     # (BM, V) logP of next token given prefix
+    cache: LMCache             # per-beam KV cache
+
+
+def _grouped_peek(clm: CachedLM, cache: LMCache, tokens: jnp.ndarray,
+                  n_tokens: jnp.ndarray, next_logp: jnp.ndarray
+                  ) -> jnp.ndarray:
+    """Score token continuations grouped by parent beam.
+
+    ``tokens (BM, R, S1)``: LM-token sequences continuing each parent's
+    prefix (R rows per parent); ``n_tokens (BM, R)`` valid counts;
+    ``next_logp (BM, V)`` scores each row's first token for free.
+    Returns summed log-probs ``(BM, R)``. Attention context per row =
+    parent's cache + the row's own transient scratch tokens.
+    """
+    BM, R, S1 = tokens.shape
+    Lmax = cache.k.shape[2]
+    pos_ids = jnp.arange(Lmax)[None, :]
+    cache_mask = pos_ids < cache.lengths[:, None]              # (BM, Lmax)
+
+    total = jnp.where(
+        n_tokens > 0,
+        next_logp[jnp.arange(BM)[:, None], tokens[:, :, 0]],
+        0.0)                                                   # (BM, R)
+    if S1 == 1:
+        return total
+
+    scratch_k = jnp.zeros((clm.n_layers, BM, R, S1, clm.n_heads,
+                           clm.d_head), clm.dtype)
+    scratch_v = jnp.zeros_like(scratch_k)
+    s_ids = jnp.arange(S1)[None, None, :]
+
+    x = clm._embed_token(tokens[:, :, 0],
+                         cache.lengths[:, None].repeat(R, 1))  # (BM, R, d)
+    for s in range(S1 - 1):
+        h = x
+        smask = jnp.broadcast_to(s_ids <= s, (BM, R, S1))
+        for li in range(clm.n_layers):
+            k_t, v_t = clm._kv(li, h)                          # (BM, R, H, Dh)
+            scratch_k = scratch_k.at[li, :, :, s].set(k_t.astype(clm.dtype))
+            scratch_v = scratch_v.at[li, :, :, s].set(v_t.astype(clm.dtype))
+            lp = clm.p[f"layer{li}"]
+            hn = clm._ln(h, lp["ln1"])
+            q = clm._proj(hn, lp["attn"]["query"])             # (BM, R, H, Dh)
+            scale = jnp.asarray(np.sqrt(clm.d_head), q.dtype)
+            sc_cache = jnp.einsum("brhk,blhk->brhl", q,
+                                  cache.k[li]) / scale
+            sc_cache = jnp.where(cache_mask[:, None, None, :], sc_cache,
+                                 NEG_INF)
+            sc_scr = jnp.einsum("brhk,brshk->brhs", q,
+                                scratch_k[li]) / scale
+            sc_scr = jnp.where(smask[:, :, None, :], sc_scr, NEG_INF)
+            sc = jnp.concatenate([sc_cache, sc_scr], axis=-1)
+            w = jax.nn.softmax(sc, axis=-1)
+            w_cache, w_scr = w[..., :Lmax], w[..., Lmax:]
+            o = (jnp.einsum("brhl,blhk->brhk", w_cache, cache.v[li])
+                 + jnp.einsum("brhs,brshk->brhk", w_scr, scratch_v[li]))
+            h = h + clm._attn_out(o, lp["attn"]["out"])
+            hn = clm._ln(h, lp["ln2"])
+            hn = hn @ lp["ff1"]["kernel"] + lp["ff1"]["bias"]
+            hn = jax.nn.relu(hn)
+            hn = hn @ lp["ff2"]["kernel"] + lp["ff2"]["bias"]
+            h = h + hn
+        logp = jax.nn.log_softmax(clm._logits(h), axis=-1)     # (BM, R, V)
+        contrib = jnp.take_along_axis(
+            logp, tokens[:, :, s + 1: s + 2], axis=-1)[..., 0]
+        total = total + jnp.where(s + 1 < n_tokens, contrib, 0.0)
+        x = clm._embed_token(tokens[:, :, s + 1],
+                             cache.lengths[:, None].repeat(R, 1) + s + 1)
+    return total
+
+
+def make_lm_beam_search(
+    clm: CachedLM,
+    codec2lm: np.ndarray,
+    lm2codec: np.ndarray,
+    *,
+    beam_size: int = 10,
+    depth: int = 10,
+    lm_depth: int | None = None,
+    unknown_id: int,
+    blank_id: int = 0,
+    lm_panelty: float = 0.8,
+    len_bonus: float = 4.8,
+    suffix_frames: int = 4,
+    lm_ctx: int = 256,
+    use_lm_pred: bool = True,
+):
+    """Build a jitted LM-fused beam search.
+
+    Returned fn signature:
+        fn(cand_vals (B,T,K), cand_idx (B,T,K), logits (B,T,D),
+           logz (B,T)) -> (prefixes (B,T), lengths (B,))
+    """
+    BM, K = beam_size, depth
+    M = (lm_depth if lm_depth is not None else depth) if use_lm_pred else 0
+    S = suffix_frames
+    S1 = S + 1
+    sos = 0  # tokenizer.sos_index
+    codec2lm_j = jnp.asarray(codec2lm)
+    lm2codec_j = jnp.asarray(lm2codec)
+
+    def decode_one(cand_vals, cand_idx, logits, logz):
+        T = cand_vals.shape[0]
+        L = T
+
+        # ---- greedy top line, end step, per-frame suffixes
+        arg = cand_idx[:, 0]
+        prev = jnp.concatenate([jnp.array([-1], jnp.int32), arg[:-1]])
+        keep = (arg != blank_id) & (arg != unknown_id) & (arg != prev)
+        any_keep = jnp.any(keep)
+        last_keep = jnp.max(jnp.where(keep, jnp.arange(T), -1))
+        end_step = jnp.where(any_keep,
+                             jnp.minimum(last_keep + S, T), 0)
+        # compact kept chars + their frames
+        kpos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+        n_kept = jnp.sum(keep)
+        kept_chars = jnp.zeros((T,), jnp.int32).at[
+            jnp.where(keep, kpos, T)].set(arg, mode="drop")
+        # rank[t] = #kept frames at position <= t
+        rank = jnp.cumsum(keep.astype(jnp.int32))              # (T,)
+        # suffix_j(t) = kept_chars[rank[t] + j] valid while < n_kept
+        j_ids = jnp.arange(S)[None, :]
+        sidx = rank[:, None] + j_ids                           # (T, S)
+        suffix_codec = jnp.where(sidx < n_kept,
+                                 kept_chars[jnp.clip(sidx, 0, T - 1)], 0)
+        suffix_valid = jnp.sum((sidx < n_kept).astype(jnp.int32), axis=1)
+
+        # ---- init state: all beams share an sos-primed cache
+        cache = clm.init_cache(BM, lm_ctx)
+        logits0, cache = clm.step(cache, jnp.full((BM,), sos, jnp.int32))
+        next_logp0 = jax.nn.log_softmax(logits0, axis=-1)
+        state = LMBeamState(
+            prefixes=jnp.zeros((BM, L), jnp.int32),
+            lengths=jnp.zeros((BM,), jnp.int32),
+            pb=jnp.full((BM,), NEG_INF).at[0].set(0.0),
+            pnb=jnp.full((BM,), NEG_INF),
+            h1=jnp.full((BM,), _H1_SEED),
+            h2=jnp.full((BM,), _H2_SEED),
+            prefix_score=jnp.zeros((BM,), jnp.float32),
+            next_logp=next_logp0,
+            cache=cache,
+        )
+
+        def step(state, t):
+            active = t < end_step
+            vis_idx = cand_idx[t]                              # (K,)
+            vis_p = cand_vals[t]                               # (K,)
+
+            # ---- linguistic candidates per beam (`ctc_codec.py:215-227`)
+            if M > 0:
+                _, lm_top = jax.lax.top_k(state.next_logp, M)  # (BM, M)
+                ling_idx = lm2codec_j[lm_top]                  # (BM, M)
+                # specials/unmapped (-1) and empty prefixes -> unknown
+                # (skipped); CTC posterior gathered from raw logits
+                ling_idx = jnp.where(
+                    (ling_idx >= 0) & (state.lengths[:, None] > 0),
+                    ling_idx, unknown_id)
+                ling_p = logits[t][jnp.clip(ling_idx, 0, unknown_id)] \
+                    - logz[t]
+                cj = jnp.concatenate(
+                    [jnp.broadcast_to(vis_idx, (BM, K)), ling_idx], axis=1)
+                pj = jnp.concatenate(
+                    [jnp.broadcast_to(vis_p, (BM, K)), ling_p], axis=1)
+            else:
+                cj = jnp.broadcast_to(vis_idx, (BM, K))
+                pj = jnp.broadcast_to(vis_p, (BM, K))
+            C = K + M                                          # cands/beam
+            bi = jnp.repeat(jnp.arange(BM), C)                 # (BM*C,)
+            cj = cj.reshape(-1)
+            pj = pj.reshape(-1)
+
+            prob = _logaddexp(state.pb, state.pnb)
+            tail = jnp.where(
+                state.lengths > 0,
+                state.prefixes[jnp.arange(BM),
+                               jnp.maximum(state.lengths - 1, 0)],
+                jnp.int32(-1))
+
+            is_blank = cj == blank_id
+            is_unk = cj >= unknown_id
+            is_rep = cj == tail[bi]
+            beam_dead = prob[bi] <= NEG_INF * 0.5
+
+            a_ext = (~is_blank) & (~is_unk) & (~beam_dead)
+            a_pb = jnp.where(is_blank & ~beam_dead, prob[bi] + pj, NEG_INF)
+            a_pnb = jnp.where(
+                a_ext,
+                jnp.where(is_rep, state.pb[bi] + pj, prob[bi] + pj),
+                NEG_INF)
+            b_pnb = jnp.where(is_rep & ~is_blank & ~is_unk & ~beam_dead,
+                              state.pnb[bi] + pj, NEG_INF)
+
+            n_rows = 2 * BM * C
+            row_parent = jnp.concatenate([bi, bi])
+            row_char = jnp.concatenate([cj, cj])
+            row_is_ext = jnp.concatenate([a_ext, jnp.zeros_like(a_ext)])
+            row_pb = jnp.concatenate([a_pb, jnp.full_like(a_pb, NEG_INF)])
+            row_pnb = jnp.concatenate([a_pnb, b_pnb])
+
+            ph1, ph2 = state.h1[row_parent], state.h2[row_parent]
+            eh1, eh2 = _hash_extend(ph1, ph2, row_char)
+            kh1 = jnp.where(row_is_ext, eh1, ph1)
+            kh2 = jnp.where(row_is_ext, eh2, ph2)
+            row_len = state.lengths[row_parent] + row_is_ext.astype(jnp.int32)
+            row_dead = (row_pb <= NEG_INF * 0.5) & (row_pnb <= NEG_INF * 0.5)
+            kh1 = jnp.where(row_dead, jnp.int32(0x7FFFFFF0), kh1)
+            kh2 = jnp.where(row_dead, jnp.arange(n_rows, dtype=jnp.int32),
+                            kh2)
+
+            # ---- LM scoring table: slot 0 = stay, 1..C = extensions
+            suf_lm = codec2lm_j[suffix_codec[t]]               # (S,)
+            n_suf = suffix_valid[t]
+            # stay rows: tokens = suffix only
+            stay_tokens = jnp.broadcast_to(suf_lm, (BM, 1, S))
+            stay_tokens = jnp.concatenate(
+                [stay_tokens,
+                 jnp.zeros((BM, 1, 1), jnp.int32)], axis=2)    # (BM,1,S1)
+            stay_n = jnp.broadcast_to(n_suf, (BM, 1))
+            # ext rows: tokens = [c] + suffix
+            ext_c = cj.reshape(BM, C)
+            ext_tokens = jnp.concatenate(
+                [codec2lm_j[jnp.clip(ext_c, 0, unknown_id)][:, :, None],
+                 jnp.broadcast_to(suf_lm, (BM, C, S))], axis=2)
+            ext_n = jnp.broadcast_to(1 + n_suf, (BM, C))
+            peek_tokens = jnp.concatenate([stay_tokens, ext_tokens], axis=1)
+            peek_n = jnp.concatenate([stay_n, ext_n], axis=1)  # (BM, 1+C)
+            peek_scores = _grouped_peek(clm, state.cache, peek_tokens,
+                                        peek_n, state.next_logp)
+            # pt per row = (parent_prefix_score + continuation) * panelty
+            #              + len * bonus
+            slot = jnp.where(
+                row_is_ext,
+                1 + jnp.concatenate([jnp.tile(jnp.arange(C), BM),
+                                     jnp.tile(jnp.arange(C), BM)]),
+                0)
+            row_lm = (state.prefix_score[row_parent]
+                      + peek_scores[row_parent, slot])
+            row_pt = row_lm * lm_panelty + \
+                row_len.astype(jnp.float32) * len_bonus
+
+            # ---- merge + select
+            order = jnp.lexsort((kh2, kh1))
+            kh1_s, kh2_s = kh1[order], kh2[order]
+            seg_start = jnp.concatenate(
+                [jnp.array([True]),
+                 (kh1_s[1:] != kh1_s[:-1]) | (kh2_s[1:] != kh2_s[:-1])])
+            pb_s = row_pb[order]
+            pnb_s = row_pnb[order]
+            seg_id = jnp.cumsum(seg_start.astype(jnp.int32)) - 1
+            pb_m = _segment_logaddexp_sorted(pb_s, seg_start)[seg_id]
+            pnb_m = _segment_logaddexp_sorted(pnb_s, seg_start)[seg_id]
+            dead_s = row_dead[order]
+            total = _logaddexp(pb_m, pnb_m) + row_pt[order]
+            total = jnp.where(seg_start & ~dead_s, total, NEG_INF)
+
+            top_tot, top_idx = jax.lax.top_k(total, BM)
+            sel = order[top_idx]
+            sel_parent = row_parent[sel]
+            sel_ext = row_is_ext[sel]
+            sel_char = row_char[sel]
+            sel_alive = top_tot > NEG_INF * 0.5
+
+            new_prefixes = state.prefixes[sel_parent]
+            app_pos = jnp.minimum(state.lengths[sel_parent], L - 1)
+            appended = new_prefixes.at[jnp.arange(BM), app_pos].set(
+                jnp.where(sel_ext, sel_char,
+                          new_prefixes[jnp.arange(BM), app_pos]))
+            new_prefixes = jnp.where(sel_ext[:, None], appended,
+                                     new_prefixes)
+            new_lengths = state.lengths[sel_parent] + \
+                sel_ext.astype(jnp.int32)
+            nh1, nh2 = _hash_extend(state.h1[sel_parent],
+                                    state.h2[sel_parent], sel_char)
+
+            # ---- LM bookkeeping for the survivors
+            sel_lm_tok = codec2lm_j[jnp.clip(sel_char, 0, unknown_id)]
+            inc = jnp.take_along_axis(
+                state.next_logp[sel_parent], sel_lm_tok[:, None],
+                axis=-1)[:, 0]
+            new_prefix_score = state.prefix_score[sel_parent] + \
+                jnp.where(sel_ext, inc, 0.0)
+            new_cache = CachedLM.gather(state.cache, sel_parent)
+            do_step = sel_ext & sel_alive & active
+            step_logits, new_cache = clm.step(new_cache, sel_lm_tok,
+                                              write_mask=do_step)
+            new_next_logp = jnp.where(
+                do_step[:, None],
+                jax.nn.log_softmax(step_logits, axis=-1),
+                state.next_logp[sel_parent])
+
+            new_state = LMBeamState(
+                prefixes=jnp.where(active, new_prefixes, state.prefixes),
+                lengths=jnp.where(active, new_lengths, state.lengths),
+                pb=jnp.where(active, jnp.where(sel_alive, pb_m[top_idx],
+                                               NEG_INF), state.pb),
+                pnb=jnp.where(active, jnp.where(sel_alive, pnb_m[top_idx],
+                                                NEG_INF), state.pnb),
+                h1=jnp.where(active, jnp.where(sel_ext, nh1,
+                                               state.h1[sel_parent]),
+                             state.h1),
+                h2=jnp.where(active, jnp.where(sel_ext, nh2,
+                                               state.h2[sel_parent]),
+                             state.h2),
+                prefix_score=jnp.where(active, new_prefix_score,
+                                       state.prefix_score),
+                next_logp=jnp.where(active, new_next_logp, state.next_logp),
+                cache=LMCache(
+                    k=jnp.where(active, new_cache.k, state.cache.k),
+                    v=jnp.where(active, new_cache.v, state.cache.v),
+                    lengths=jnp.where(active, new_cache.lengths,
+                                      state.cache.lengths)),
+            )
+            return new_state, ()
+
+        state, _ = jax.lax.scan(step, state, jnp.arange(T))
+        return state.prefixes[0], state.lengths[0]
+
+    @jax.jit
+    def run(cand_vals, cand_idx, logits, logz):
+        return jax.vmap(decode_one)(cand_vals, cand_idx, logits, logz)
+
+    return run

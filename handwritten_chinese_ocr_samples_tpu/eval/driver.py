@@ -42,6 +42,8 @@ def build_beam_decoder(codec, args):
         from ..lm.io import load_lm
         lm_model, lm_vars, tokenizer = load_lm(args.tfm_path)
         lm = JaxLMBackend(LMScorer(lm_model, lm_vars, tokenizer))
+        lm.lm_model, lm.lm_params, lm.tokenizer = (
+            lm_model, lm_vars["params"], tokenizer)
     elif args.kenlm_path:
         lm = KenLMBackend(args.kenlm_path)
     cfg = BeamSearchConfig(
@@ -73,13 +75,19 @@ class EvalSession:
         self.use_beam = args.decode_method == "beam-search"
         self.beam = build_beam_decoder(self.codec, args) if self.use_beam \
             else None
-        # No-LM full search runs entirely on device (fused Pallas top-K +
-        # scan beam search); LM-fused and skip-search modes use the host
-        # decoder with batched LM calls.
-        from ..decode.lm_interface import NullLM
+        # Decode-path routing: full (non-skip) search runs entirely on
+        # device — no-LM via the fused Pallas top-K + scan search, JAX-LM
+        # via the KV-cached LM-fused search. Skip-search and KenLM modes use
+        # the host decoder with batched LM calls.
+        from ..decode.lm_interface import JaxLMBackend, NullLM
         self.device_beam = (
             self.use_beam and isinstance(self.beam.lm, NullLM)
-            and not args.skip_search)
+            and not args.skip_search
+            and not getattr(args, "host_beam", False))
+        self.device_lm_beam = (
+            self.use_beam and isinstance(self.beam.lm, JaxLMBackend)
+            and args.use_tfm_score and not args.skip_search
+            and not getattr(args, "host_beam", False))
 
         model = self.model
         unknown_id = self.codec.unknown_id
@@ -110,13 +118,45 @@ class EvalSession:
         self._forward_greedy = forward_greedy
         self._forward_beam = forward_beam
 
+        if self.device_lm_beam:
+            from ..decode.beam_lm_device import (make_id_tables,
+                                                make_lm_beam_search)
+            from ..lm.cached import CachedLM
+            from ..ops.topk_logsoftmax import topk_logsoftmax
+            lm = self.beam.lm
+            clm = CachedLM(lm.lm_model, lm.lm_params)
+            c2l, l2c = make_id_tables(self.codec, lm.tokenizer)
+            lm_fn = make_lm_beam_search(
+                clm, c2l, l2c, beam_size=beam_size, depth=depth,
+                unknown_id=unknown_id, lm_panelty=args.lm_panelty,
+                len_bonus=len_bonus,
+                lm_ctx=min(lm.lm_model.max_len, 300),
+                use_lm_pred=args.use_tfm_pred)
+
+            @jax.jit
+            def forward_lm_beam(variables, x):
+                logits = model.apply(variables, x, train=False)
+                cv, ci, _b = topk_logsoftmax(logits, k=depth)
+                logz = jax.scipy.special.logsumexp(
+                    logits.astype(jnp.float32), axis=-1)
+                return lm_fn(cv, ci, logits, logz)
+
+            self._forward_lm_beam = forward_lm_beam
+
     # ------------------------------------------------------------- decode
     def decode_batch(self, images_nhwc: np.ndarray) -> Tuple[List[str], float]:
         """(B, H, W, 1) normalized f32 -> texts, elapsed seconds."""
         import jax.numpy as jnp
         x = jnp.asarray(images_nhwc)
         t0 = time.time()
-        if self.use_beam and self.device_beam:
+        if self.use_beam and self.device_lm_beam:
+            prefixes, lengths = self._forward_lm_beam(self.variables, x)
+            prefixes = np.asarray(prefixes)
+            lengths = np.asarray(lengths)
+            texts = ["".join(self.codec.characters[c]
+                             for c in prefixes[b, : int(lengths[b])])
+                     for b in range(prefixes.shape[0])]
+        elif self.use_beam and self.device_beam:
             prefixes, lengths = self._forward_beam(self.variables, x)
             prefixes = np.asarray(prefixes)
             lengths = np.asarray(lengths)

@@ -1,0 +1,208 @@
+"""Incremental (KV-cached) inference over ``CharTransformerLM`` weights.
+
+The beam-search LM fusion needs, per CTC frame and per beam: the next-char
+distribution given the beam's prefix, and the log-probability of a short
+greedy suffix given that prefix (`ctc_codec.py:215-227,267-274`). Running the
+full transformer over every prefix every frame is O(T * L) forwards; with a
+KV cache it is O(1) single-token steps plus an O(suffix) *peek* that does not
+commit to the cache.
+
+This module re-implements the forward pass of ``CharTransformerLM`` directly
+from its parameter tree (same weights, verified equivalent in
+``tests/test_lm_cached.py``) because flax's built-in ``decode=True`` cache
+keeps one scalar write index per module — but CTC beams have *per-element*
+prefix lengths (a beam that extends steps its cache; a beam that stays does
+not). Cache layout: per layer ``k/v (B, Lmax, H, Dh)`` plus a shared
+``lengths (B,)``; all ops are batched and jittable, and the cache pytree can
+be gathered along the batch axis for beam reordering.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG = -1e30
+
+
+class LMCache(NamedTuple):
+    k: jnp.ndarray        # (layers, B, Lmax, H, Dh)
+    v: jnp.ndarray        # (layers, B, Lmax, H, Dh)
+    lengths: jnp.ndarray  # (B,) number of tokens already consumed
+
+
+class CachedLM:
+    """Single-token step + suffix peek over a CharTransformerLM param tree."""
+
+    def __init__(self, model, params):
+        self.model = model
+        self.p = params
+        self.n_layers = model.n_layers
+        self.n_heads = model.n_heads
+        self.d_model = model.d_model
+        self.d_head = model.d_model // model.n_heads
+        self.dtype = model.dtype
+
+    # ------------------------------------------------------------ plumbing
+    def init_cache(self, B: int, max_len: int) -> LMCache:
+        shape = (self.n_layers, B, max_len, self.n_heads, self.d_head)
+        return LMCache(
+            k=jnp.zeros(shape, self.dtype),
+            v=jnp.zeros(shape, self.dtype),
+            lengths=jnp.zeros((B,), jnp.int32),
+        )
+
+    @staticmethod
+    def gather(cache: LMCache, idx: jnp.ndarray) -> LMCache:
+        """Reorder the batch axis (beam reshuffle)."""
+        return LMCache(k=cache.k[:, idx], v=cache.v[:, idx],
+                       lengths=cache.lengths[idx])
+
+    # ------------------------------------------------------------- layers
+    def _ln(self, x, p):
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        y = (x - mu) * jax.lax.rsqrt(var + 1e-6)
+        return y * p["scale"] + p["bias"]
+
+    def _proj(self, x, p):  # flax DenseGeneral (..., d_model) -> (..., H, Dh)
+        return jnp.einsum("...d,dhk->...hk", x, p["kernel"]) + p["bias"]
+
+    def _attn_out(self, x, p):  # (..., H, Dh) -> (..., d_model)
+        return jnp.einsum("...hk,hkd->...d", x, p["kernel"]) + p["bias"]
+
+    def _embed_token(self, tokens, pos):
+        emb = self.p["embed"]["embedding"][tokens]
+        x = emb.astype(self.dtype) * jnp.asarray(
+            self.d_model ** 0.5, self.dtype)
+        return x + self.p["pos_embed"][pos].astype(self.dtype)
+
+    def _logits(self, x):
+        x = self._ln(x, self.p["ln_f"])
+        return (x @ self.p["embed"]["embedding"].T).astype(jnp.float32)
+
+    def _block(self, li, x, k_ctx, v_ctx, ctx_mask):
+        """One transformer block for a single query token per batch element.
+
+        ``k_ctx/v_ctx (B, L, H, Dh)`` hold the attention context (cache and/or
+        peek scratch); ``ctx_mask (B, L)`` marks valid positions — the current
+        token's own k/v must already be included in the context.
+        """
+        lp = self.p[f"layer{li}"]
+        h = self._ln(x, lp["ln1"])
+        q = self._proj(h, lp["attn"]["query"])            # (B, H, Dh)
+        scores = jnp.einsum("bhk,blhk->bhl", q, k_ctx)
+        scores = scores / jnp.asarray(np.sqrt(self.d_head), scores.dtype)
+        scores = jnp.where(ctx_mask[:, None, :], scores, NEG)
+        w = jax.nn.softmax(scores, axis=-1)
+        o = jnp.einsum("bhl,blhk->bhk", w, v_ctx)
+        x = x + self._attn_out(o, lp["attn"]["out"])
+
+        h = self._ln(x, lp["ln2"])
+        h = h @ lp["ff1"]["kernel"] + lp["ff1"]["bias"]
+        h = jax.nn.relu(h)
+        h = h @ lp["ff2"]["kernel"] + lp["ff2"]["bias"]
+        return x + h
+
+    def _kv(self, li, x):
+        lp = self.p[f"layer{li}"]
+        h = self._ln(x, lp["ln1"])
+        return (self._proj(h, lp["attn"]["key"]),
+                self._proj(h, lp["attn"]["value"]))
+
+    # ---------------------------------------------------------------- step
+    def step(self, cache: LMCache, tokens: jnp.ndarray,
+             write_mask: jnp.ndarray | None = None
+             ) -> Tuple[jnp.ndarray, LMCache]:
+        """Consume one token per batch element at its current position.
+
+        Returns the next-token logits (B, V) and the updated cache. Where
+        ``write_mask`` is False the element's cache/length are unchanged and
+        its logits are garbage (callers mask them out).
+        """
+        B = tokens.shape[0]
+        Lmax = cache.k.shape[2]
+        if write_mask is None:
+            write_mask = jnp.ones((B,), bool)
+        pos = cache.lengths                                    # (B,)
+        x = self._embed_token(tokens, pos)                     # (B, d)
+
+        b_idx = jnp.arange(B)
+        pos_ids = jnp.arange(Lmax)[None, :]
+        new_k = cache.k
+        new_v = cache.v
+        for li in range(self.n_layers):
+            k_t, v_t = self._kv(li, x)                         # (B, H, Dh)
+            k_li = cache.k[li].at[b_idx, pos].set(
+                k_t.astype(self.dtype))
+            v_li = cache.v[li].at[b_idx, pos].set(
+                v_t.astype(self.dtype))
+            # masked write: keep old rows where write_mask is False
+            k_li = jnp.where(write_mask[:, None, None, None],
+                             k_li, cache.k[li])
+            v_li = jnp.where(write_mask[:, None, None, None],
+                             v_li, cache.v[li])
+            new_k = new_k.at[li].set(k_li)
+            new_v = new_v.at[li].set(v_li)
+            ctx_mask = pos_ids <= pos[:, None]                 # incl. self
+            x = self._block(li, x, k_li, v_li, ctx_mask)
+
+        logits = self._logits(x)
+        new_lengths = jnp.where(write_mask, cache.lengths + 1, cache.lengths)
+        return logits, LMCache(k=new_k, v=new_v, lengths=new_lengths)
+
+    # ---------------------------------------------------------------- peek
+    def peek_logprobs(self, cache: LMCache, next_logp: jnp.ndarray,
+                      suffix: jnp.ndarray,
+                      suffix_len: jnp.ndarray) -> jnp.ndarray:
+        """Sum of log-probs of ``suffix`` given each element's cached prefix,
+        WITHOUT committing anything to the cache.
+
+        ``next_logp (B, V)``: log-softmax of the logits emitted by the last
+        *committed* ``step`` (they predict the token right after the prefix) —
+        it scores ``suffix[:, 0]`` for free. The remaining suffix tokens are
+        processed transiently: their k/v live in local ``(B, S, H, Dh)``
+        scratch buffers appended to the cache context, never written back.
+        ``suffix (B, S)``, ``suffix_len (B,) <= S``.
+        """
+        B, S = suffix.shape
+        Lmax = cache.k.shape[2]
+        pos_ids = jnp.arange(Lmax)[None, :]
+        cache_mask = pos_ids < cache.lengths[:, None]          # (B, Lmax)
+
+        total = jnp.where(
+            suffix_len > 0,
+            jnp.take_along_axis(next_logp, suffix[:, 0:1], axis=-1)[:, 0],
+            0.0)
+        if S == 1:
+            return total
+
+        scratch_k = jnp.zeros(
+            (self.n_layers, B, S, self.n_heads, self.d_head), self.dtype)
+        scratch_v = jnp.zeros_like(scratch_k)
+        s_ids = jnp.arange(S)[None, :]
+
+        # token s sits at absolute position lengths + s
+        x = self._embed_token(suffix[:, 0], cache.lengths)
+        for s in range(S - 1):
+            h = x
+            smask = jnp.broadcast_to(s_ids <= s, (B, S))
+            for li in range(self.n_layers):
+                k_t, v_t = self._kv(li, h)
+                scratch_k = scratch_k.at[li, :, s].set(k_t.astype(self.dtype))
+                scratch_v = scratch_v.at[li, :, s].set(v_t.astype(self.dtype))
+                ctx_k = jnp.concatenate([cache.k[li], scratch_k[li]], axis=1)
+                ctx_v = jnp.concatenate([cache.v[li], scratch_v[li]], axis=1)
+                mask = jnp.concatenate([cache_mask, smask], axis=1)
+                h = self._block(li, h, ctx_k, ctx_v, mask)
+            logp = jax.nn.log_softmax(self._logits(h), axis=-1)
+            contrib = jnp.take_along_axis(
+                logp, suffix[:, s + 1: s + 2], axis=-1)[:, 0]
+            total = total + jnp.where(s + 1 < suffix_len, contrib, 0.0)
+            x = self._embed_token(suffix[:, s + 1], cache.lengths + s + 1)
+
+        return total
