@@ -272,7 +272,7 @@ def beam_search_fused(
     """Production TPU entry: Pallas fused log-softmax+top-K feeds the
     search — the (B, T, D) log-prob tensor is never materialized."""
     from ..ops.topk_logsoftmax import topk_logsoftmax
-    cand_vals, cand_idx, _blank = topk_logsoftmax(logits, k=depth)
+    cand_vals, cand_idx, _blank, _n = topk_logsoftmax(logits, k=depth)
     return beam_search_from_topk(
         cand_vals, cand_idx, beam_size=beam_size, unknown_id=unknown_id,
         blank_id=blank_id, len_bonus=len_bonus, suffix_frames=suffix_frames)

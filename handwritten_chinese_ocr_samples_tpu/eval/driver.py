@@ -136,7 +136,7 @@ class EvalSession:
             @jax.jit
             def forward_lm_beam(variables, x):
                 logits = model.apply(variables, x, train=False)
-                cv, ci, _b = topk_logsoftmax(logits, k=depth)
+                cv, ci, _b, _n = topk_logsoftmax(logits, k=depth)
                 logz = jax.scipy.special.logsumexp(
                     logits.astype(jnp.float32), axis=-1)
                 return lm_fn(cv, ci, logits, logz)

@@ -30,8 +30,8 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e30
 
 
-def _kernel(x_ref, vals_ref, idx_ref, blank_ref, *, k: int, k_pad: int,
-            d_valid: int):
+def _kernel(x_ref, vals_ref, idx_ref, blank_ref, nabove_ref, *, k: int,
+            k_pad: int, d_valid: int, prune: float):
     x = x_ref[0].astype(jnp.float32)              # (T_TILE, D_pad)
     T_TILE, D_pad = x.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (T_TILE, D_pad), 1)
@@ -41,6 +41,10 @@ def _kernel(x_ref, vals_ref, idx_ref, blank_ref, *, k: int, k_pad: int,
     logz = m + jnp.log(jnp.sum(jnp.exp(x - m), axis=1, keepdims=True))
 
     blank_ref[0] = x[:, 0:1] - logz
+    # classes whose log-prob clears the skip-search prune threshold
+    # (`ctc_codec.py:128,144`)
+    nabove_ref[0] = jnp.sum(
+        ((x - logz) > prune).astype(jnp.int32), axis=1, keepdims=True)
 
     work = x
     vs, is_ = [], []
@@ -58,13 +62,17 @@ def _kernel(x_ref, vals_ref, idx_ref, blank_ref, *, k: int, k_pad: int,
     idx_ref[0] = idxs
 
 
-@functools.partial(jax.jit, static_argnames=("k", "t_tile", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "t_tile", "interpret", "prune"))
 def topk_logsoftmax(logits: jnp.ndarray, k: int = 10, t_tile: int = 8,
-                    interpret: bool = False):
-    """(B, T, D) raw logits -> (vals (B,T,K), idx (B,T,K), blank (B,T)).
+                    interpret: bool = False, prune: float = -6.9077554):
+    """(B, T, D) raw logits -> (vals (B,T,K), idx (B,T,K), blank (B,T),
+    n_above (B,T)).
 
     ``vals`` are log-softmax values of the top-``k`` classes per frame in
-    descending order; ``blank`` is the log-prob of class 0.
+    descending order; ``blank`` is the log-prob of class 0; ``n_above``
+    counts classes above the skip-search prune threshold (default
+    log(0.001), `ctc_codec.py:128`).
     """
     B, T, D = logits.shape
     # pad T to the tile and D to the lane multiple
@@ -77,8 +85,8 @@ def topk_logsoftmax(logits: jnp.ndarray, k: int = 10, t_tile: int = 8,
     K_pad = 128
 
     grid = (B, T_pad // t_tile)
-    vals, idx, blank = pl.pallas_call(
-        functools.partial(_kernel, k=k, k_pad=K_pad, d_valid=D),
+    vals, idx, blank, nabove = pl.pallas_call(
+        functools.partial(_kernel, k=k, k_pad=K_pad, d_valid=D, prune=prune),
         grid=grid,
         in_specs=[pl.BlockSpec((1, t_tile, D_pad),
                                lambda b, t: (b, t, 0),
@@ -90,19 +98,25 @@ def topk_logsoftmax(logits: jnp.ndarray, k: int = 10, t_tile: int = 8,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t_tile, 1), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_tile, 1), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, T_pad, K_pad), jnp.float32),
             jax.ShapeDtypeStruct((B, T_pad, K_pad), jnp.int32),
             jax.ShapeDtypeStruct((B, T_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, T_pad, 1), jnp.int32),
         ],
         interpret=interpret,
     )(logits)
-    return (vals[:, :T, :k], idx[:, :T, :k], blank[:, :T, 0])
+    return (vals[:, :T, :k], idx[:, :T, :k], blank[:, :T, 0],
+            nabove[:, :T, 0])
 
 
-def topk_logsoftmax_xla(logits: jnp.ndarray, k: int = 10):
+def topk_logsoftmax_xla(logits: jnp.ndarray, k: int = 10,
+                        prune: float = -6.9077554):
     """Reference XLA implementation (correctness oracle / CPU fallback)."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     vals, idx = jax.lax.top_k(logp, k)
-    return vals, idx.astype(jnp.int32), logp[..., 0]
+    nabove = jnp.sum((logp > prune).astype(jnp.int32), axis=-1)
+    return vals, idx.astype(jnp.int32), logp[..., 0], nabove

@@ -29,6 +29,31 @@ def _ckpt_dir(out_dir: str, model_type: str) -> str:
     return os.path.join(out_dir, f"{model_type}_checkpoint")
 
 
+_ASYNC_CKPTR: Optional[ocp.AsyncCheckpointer] = None
+_PENDING_BEST: Optional[Tuple[str, str]] = None
+
+
+def _async_checkpointer() -> ocp.AsyncCheckpointer:
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_checkpoint() -> None:
+    """Block until the in-flight async save (if any) is durable, then
+    perform the deferred best-copy."""
+    global _PENDING_BEST
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+    if _PENDING_BEST is not None:
+        src, dst = _PENDING_BEST
+        _PENDING_BEST = None
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        shutil.copytree(src, dst)
+
+
 def save_checkpoint(
     state: TrainState,
     epoch: int,
@@ -38,8 +63,15 @@ def save_checkpoint(
     is_best: bool = False,
     acc: float = 0.0,
     is_val: bool = False,
+    use_async: bool = True,
 ) -> str:
-    """Write latest checkpoint; copy to a best-tagged name when ``is_best``."""
+    """Write latest checkpoint; copy to a best-tagged name when ``is_best``.
+
+    With ``use_async`` the device->host transfer and disk write run in the
+    background (orbax AsyncCheckpointer) so the train loop keeps stepping;
+    the previous save is awaited first, and the best-copy of an async save
+    is deferred until it is durable.
+    """
     if jax.process_index() != 0:
         return ""
     os.makedirs(out_dir, exist_ok=True)
@@ -52,18 +84,28 @@ def save_checkpoint(
         "step": state.step,
     }
     path = os.path.abspath(_ckpt_dir(out_dir, model_type))
-    ckptr = ocp.PyTreeCheckpointer()
+    wait_for_checkpoint()  # previous save must be durable before overwrite
     if os.path.exists(path):
         shutil.rmtree(path)
-    ckptr.save(path, payload)
+
+    best_path = ""
     if is_best:
         prefix = "val_" if is_val else ""
         best_path = os.path.abspath(os.path.join(
             out_dir,
             f"{prefix}{model_type}_{epoch}ep_{acc:.4f}acc_checkpoint"))
-        if os.path.exists(best_path):
-            shutil.rmtree(best_path)
-        shutil.copytree(path, best_path)
+
+    if use_async:
+        global _PENDING_BEST
+        _async_checkpointer().save(path, payload)
+        if is_best:
+            _PENDING_BEST = (path, best_path)
+    else:
+        ocp.PyTreeCheckpointer().save(path, payload)
+        if is_best:
+            if os.path.exists(best_path):
+                shutil.rmtree(best_path)
+            shutil.copytree(path, best_path)
     return path
 
 
@@ -77,6 +119,7 @@ def load_checkpoint(
     into it (full resume, `main.py:257-263`); without one the raw payload tree
     is returned (eval path, `test.py:151-153`).
     """
+    wait_for_checkpoint()  # make any in-flight save visible first
     ckptr = ocp.PyTreeCheckpointer()
     path = os.path.abspath(path)
     if state is not None:

@@ -29,7 +29,7 @@ from ..data.loader import DataLoader
 from ..eval.metrics import AverageMeter, cer_counts
 from ..ops.decode import greedy_decode_device
 from ..parallel.mesh import batch_sharding, make_mesh
-from .checkpoint import load_checkpoint, save_checkpoint
+from .checkpoint import load_checkpoint, save_checkpoint, wait_for_checkpoint
 from .step import (adjust_learning_rate, create_train_state, make_eval_step,
                    make_train_step, shard_train_state)
 
@@ -145,6 +145,7 @@ class Trainer:
                             is_best=is_best, acc=acc)
             print(f"epoch {epoch}: test acc {acc:.4f} "
                   f"(best {self.best_acc:.4f})")
+        wait_for_checkpoint()
 
     def _train_epoch(self, loader: DataLoader, epoch: int):
         cfg = self.cfg
