@@ -67,22 +67,23 @@ def main():
     chars, lengths = infer(variables, x)
     np.asarray(chars)
 
+    from concurrent.futures import ThreadPoolExecutor
+    xfer = ThreadPoolExecutor(max_workers=1)
+
     t0 = time.perf_counter()
     total_lines = 0
-    next_x = jax.device_put(batches[0], dev)
+    next_fut = xfer.submit(jax.device_put, batches[0], dev)
     for i in range(ITERS):
-        x = next_x
-        # Overlap next H2D with this batch's compute.
-        next_x = jax.device_put(batches[(i + 1) % len(batches)], dev)
+        x = next_fut.result()
+        # Overlap the next batch's H2D with this batch's compute.
+        next_fut = xfer.submit(jax.device_put,
+                               batches[(i + 1) % len(batches)], dev)
         chars, lengths = infer(variables, x)
-        chars_h = np.asarray(chars)
-        lengths_h = np.asarray(lengths)
-        # Host string join (the only irreducible host work).
-        for b in range(BATCH):
-            n = int(lengths_h[b])
-            "".join(codec.characters[c] for c in chars_h[b, :n])
+        # Host string conversion (the only irreducible host work).
+        codec.compact_to_texts(np.asarray(chars), np.asarray(lengths))
         total_lines += BATCH
     dt = time.perf_counter() - t0
+    xfer.shutdown(wait=False)
 
     lines_per_sec = total_lines / dt
     print(json.dumps({

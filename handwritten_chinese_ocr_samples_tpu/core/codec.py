@@ -48,6 +48,10 @@ class CTCCodec:
         self.unknown_id = len(self.characters) - 1
         self.dict["<blank>"] = self.blank_id
         self.dict["<unknown>"] = self.unknown_id
+        # U1 table for vectorized index->string conversion (collapsed output
+        # never contains blank/unknown, so placeholders are safe there).
+        self._chars_u1 = np.array(["\x00"] + self.chars_list + ["\x00"],
+                                  dtype="U1")
 
     @property
     def num_classes(self) -> int:
@@ -119,6 +123,22 @@ class CTCCodec:
             self.indices_to_text(preds_index[b], int(l))
             for b, l in zip(range(B), lengths)
         ]
+
+    def compact_to_texts(self, chars: np.ndarray,
+                         lengths: np.ndarray) -> List[str]:
+        """Device-compacted ``(B, T)`` char indices + ``(B,)`` lengths ->
+        strings, via one vectorized U1 gather per row (C-speed join)."""
+        chars = np.asarray(chars)
+        lengths = np.asarray(lengths)
+        out = []
+        for b in range(chars.shape[0]):
+            n = int(lengths[b])
+            if n == 0:
+                out.append("")
+                continue
+            row = self._chars_u1[chars[b, :n]]
+            out.append(row.view(f"U{n}")[0])
+        return out
 
     def decode_greedy(self, preds: np.ndarray) -> List[str]:
         """Greedy decode from raw logits/log-probs ``(T, B, D)``.

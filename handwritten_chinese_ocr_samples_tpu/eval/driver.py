@@ -151,28 +151,16 @@ class EvalSession:
         t0 = time.time()
         if self.use_beam and self.device_lm_beam:
             prefixes, lengths = self._forward_lm_beam(self.variables, x)
-            prefixes = np.asarray(prefixes)
-            lengths = np.asarray(lengths)
-            texts = ["".join(self.codec.characters[c]
-                             for c in prefixes[b, : int(lengths[b])])
-                     for b in range(prefixes.shape[0])]
+            texts = self.codec.compact_to_texts(prefixes, lengths)
         elif self.use_beam and self.device_beam:
             prefixes, lengths = self._forward_beam(self.variables, x)
-            prefixes = np.asarray(prefixes)
-            lengths = np.asarray(lengths)
-            texts = ["".join(self.codec.characters[c]
-                             for c in prefixes[b, : int(lengths[b])])
-                     for b in range(prefixes.shape[0])]
+            texts = self.codec.compact_to_texts(prefixes, lengths)
         elif self.use_beam:
             logits = np.asarray(self._forward(self.variables, x))
             texts = self.beam.decode(logits.transpose(1, 0, 2))
         else:
             chars, lengths = self._forward_greedy(self.variables, x)
-            chars = np.asarray(chars)
-            lengths = np.asarray(lengths)
-            texts = ["".join(self.codec.characters[c]
-                             for c in chars[b, : int(lengths[b])])
-                     for b in range(chars.shape[0])]
+            texts = self.codec.compact_to_texts(chars, lengths)
         return texts, time.time() - t0
 
 

@@ -59,10 +59,5 @@ def greedy_texts(codec, logits, widths=None):
     """Full greedy path: device argmax+collapse, host string join."""
     chars, lengths = greedy_decode_device(
         logits, widths, unknown_id=codec.unknown_id, blank_id=codec.blank_id)
-    chars = jax.device_get(chars)
-    lengths = jax.device_get(lengths)
-    out = []
-    for b in range(chars.shape[0]):
-        n = int(lengths[b])
-        out.append("".join(codec.characters[i] for i in chars[b, :n]))
-    return out
+    return codec.compact_to_texts(jax.device_get(chars),
+                                  jax.device_get(lengths))

@@ -116,10 +116,7 @@ class ServingEngine:
             for _ in range(iterations):
                 t0 = time.time()
                 chars, lengths = exe(self.variables, jnp.asarray(x))
-                chars = np.asarray(chars)
-                n = int(np.asarray(lengths)[0])
-                text = "".join(self.codec.characters[c]
-                               for c in chars[0, :n])
+                text = self.codec.compact_to_texts(chars, lengths)[0]
                 times.append((time.time() - t0) * 1000)
             texts.append(text)
         return texts, float(np.mean(times)) if times else 0.0

@@ -190,11 +190,7 @@ class Trainer:
                                     self.batch_sharding)
             chars, lengths = self.eval_step(
                 self.state.params, self.state.batch_stats, images, widths)
-            chars = np.asarray(chars)
-            lengths = np.asarray(lengths)
-            preds = ["".join(self.codec.characters[c]
-                             for c in chars[b, : int(lengths[b])])
-                     for b in range(chars.shape[0])]
+            preds = self.codec.compact_to_texts(chars, lengths)
             d, t = cer_counts(preds, list(batch["labels"]))
             dist_sum += d
             len_sum += t
