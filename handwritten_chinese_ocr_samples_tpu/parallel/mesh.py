@@ -64,6 +64,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def width_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard NHWC images over batch (``data``) AND width (``model``).
+
+    The sequence-parallel analogue for this workload (SURVEY.md §2.3): the
+    CTC time axis is the pixel width, so very long text lines shard their
+    width across chips. XLA GSPMD spatially partitions the convolutions and
+    inserts the halo exchanges for the 3x3 kernels automatically — no manual
+    collectives (the asymmetric (2,1) pooling never reduces width, so the
+    layout is stable through the trunk).
+    """
+    return NamedSharding(mesh, P("data", None, "model", None))
+
+
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
     """Place a host batch dict onto the mesh, batch-axis sharded."""
     sharding = batch_sharding(mesh)
