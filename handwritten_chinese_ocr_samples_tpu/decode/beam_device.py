@@ -64,22 +64,26 @@ def _logaddexp(a, b):
 
 
 def _segment_logaddexp_sorted(vals, seg_starts):
-    """Merge sorted-adjacent rows: for rows sorted by key, ``seg_starts``
-    marks the first row of each segment; returns per-row segment totals
-    (valid at segment starts)."""
-    # log-sum-exp via max-shift within segments using cumulative ops
-    n = vals.shape[0]
-    seg_id = jnp.cumsum(seg_starts.astype(jnp.int32)) - 1  # (n,)
-    # segment max
-    seg_max = jax.ops.segment_max(vals, seg_id, num_segments=n)
-    vmax = seg_max[seg_id]
-    safe = jnp.where(vals <= NEG_INF * 0.5, 0.0,
-                     jnp.exp(vals - jnp.where(vmax <= NEG_INF * 0.5, 0.0,
-                                              vmax)))
-    seg_sum = jax.ops.segment_sum(safe, seg_id, num_segments=n)
-    out = jnp.where(seg_max <= NEG_INF * 0.5, NEG_INF,
-                    seg_max + jnp.log(jnp.maximum(seg_sum, 1e-30)))
-    return out  # (n,) indexed by segment id
+    """Segmented logaddexp over key-sorted rows.
+
+    ``seg_starts`` marks the first row of each segment. Returns, per row,
+    the logaddexp of the rows from that row to the end of its segment — so
+    segment-START rows carry the full segment reduction (the only rows the
+    callers consume). Implemented as one reverse segmented
+    ``associative_scan`` (logaddexp is associative), which is far cheaper on
+    TPU than scatter-based ``segment_max``/``segment_sum``.
+    """
+    seg_end = jnp.concatenate([seg_starts[1:], jnp.array([True])])
+    f = seg_end[::-1]   # reversed: segment boundaries become scan resets
+    v = vals[::-1]
+
+    def comb(a, b):
+        fa, va = a
+        fb, vb = b
+        return (fa | fb, jnp.where(fb, vb, _logaddexp(va, vb)))
+
+    _, vv = jax.lax.associative_scan(comb, (f, v))
+    return vv[::-1]
 
 
 @partial(jax.jit, static_argnames=("beam_size", "unknown_id", "blank_id"))
@@ -177,32 +181,35 @@ def beam_search_from_topk(
             kh2 = jnp.where(row_dead, jnp.arange(n_rows, dtype=jnp.int32),
                             kh2)
 
-            # ---- sort by (kh1, kh2) and merge equal keys (lexicographic;
-            # int64 is unavailable on TPU by default, so two int32 lanes)
-            order = jnp.lexsort((kh2, kh1))
-            kh1_s, kh2_s = kh1[order], kh2[order]
+            # ---- sort by (kh1, kh2) and merge equal keys. One fused
+            # multi-operand lax.sort carries the payload columns along
+            # (int64 is unavailable on TPU by default, hence two int32 key
+            # lanes instead of one 64-bit key).
+            (kh1_s, kh2_s, pb_s, pnb_s, len_s, par_s, chr_s, ext_i_s,
+             dead_i_s) = jax.lax.sort(
+                (kh1, kh2, row_pb, row_pnb, row_len, row_parent, row_char,
+                 row_is_ext.astype(jnp.int32), row_dead.astype(jnp.int32)),
+                num_keys=2)
+            ext_s = ext_i_s.astype(bool)
+            dead_s = dead_i_s.astype(bool)
             seg_start = jnp.concatenate(
                 [jnp.array([True]),
                  (kh1_s[1:] != kh1_s[:-1]) | (kh2_s[1:] != kh2_s[:-1])])
-            pb_s = row_pb[order]
-            pnb_s = row_pnb[order]
-            seg_id = jnp.cumsum(seg_start.astype(jnp.int32)) - 1
-            pb_m = _segment_logaddexp_sorted(pb_s, seg_start)[seg_id]
-            pnb_m = _segment_logaddexp_sorted(pnb_s, seg_start)[seg_id]
-            dead_s = row_dead[order]
+            # per-row values are suffix aggregates; only segment-start
+            # rows (the ones consumed below) carry full segment totals
+            pb_m = _segment_logaddexp_sorted(pb_s, seg_start)
+            pnb_m = _segment_logaddexp_sorted(pnb_s, seg_start)
 
             # score only at segment starts; others suppressed
-            length_s = row_len[order]
             total = _logaddexp(pb_m, pnb_m) + \
-                length_s.astype(jnp.float32) * len_bonus
+                len_s.astype(jnp.float32) * len_bonus
             total = jnp.where(seg_start & ~dead_s, total, NEG_INF)
 
             # ---- select top BM segments
-            top_tot, top_idx = jax.lax.top_k(total, BM)         # rows indices
-            sel = order[top_idx]                                # original row
-            sel_parent = row_parent[sel]
-            sel_ext = row_is_ext[sel]
-            sel_char = row_char[sel]
+            top_tot, top_idx = jax.lax.top_k(total, BM)
+            sel_parent = par_s[top_idx]
+            sel_ext = ext_s[top_idx]
+            sel_char = chr_s[top_idx]
             sel_alive = top_tot > NEG_INF * 0.5
 
             new_prefixes = state.prefixes[sel_parent]

@@ -314,9 +314,10 @@ def make_lm_beam_search(
                  (kh1_s[1:] != kh1_s[:-1]) | (kh2_s[1:] != kh2_s[:-1])])
             pb_s = row_pb[order]
             pnb_s = row_pnb[order]
-            seg_id = jnp.cumsum(seg_start.astype(jnp.int32)) - 1
-            pb_m = _segment_logaddexp_sorted(pb_s, seg_start)[seg_id]
-            pnb_m = _segment_logaddexp_sorted(pnb_s, seg_start)[seg_id]
+            # per-row values are suffix aggregates; only segment-start
+            # rows (the ones consumed below) carry full segment totals
+            pb_m = _segment_logaddexp_sorted(pb_s, seg_start)
+            pnb_m = _segment_logaddexp_sorted(pnb_s, seg_start)
             dead_s = row_dead[order]
             total = _logaddexp(pb_m, pnb_m) + row_pt[order]
             total = jnp.where(seg_start & ~dead_s, total, NEG_INF)
