@@ -78,7 +78,18 @@ def _grouped_peek(clm: CachedLM, cache: LMCache, tokens: jnp.ndarray,
     prefix (R rows per parent); ``n_tokens (BM, R)`` valid counts;
     ``next_logp (BM, V)`` scores each row's first token for free.
     Returns summed log-probs ``(BM, R)``. Attention context per row =
-    parent's cache + the row's own transient scratch tokens.
+    parent's cache + the row's own tokens.
+
+    The continuations are teacher-forced (every token is known up front),
+    so all S1 positions run in ONE causal forward — no sequential decode:
+    queries at position s attend the parent cache plus row tokens 0..s.
+
+    Besides the summed scores (BM, R), returns the byproducts that make a
+    separate committed LM step unnecessary: each row's FIRST token's
+    per-layer k/v ``(layers, BM, R, H, Dh)`` (exactly what ``clm.step``
+    would write into the cache for that token) and the position-0
+    log-probs ``(BM, R, V)`` (the next-token distribution after
+    prefix+first-token — the extended beam's ``next_logp``).
     """
     BM, R, S1 = tokens.shape
     Lmax = cache.k.shape[2]
@@ -89,52 +100,49 @@ def _grouped_peek(clm: CachedLM, cache: LMCache, tokens: jnp.ndarray,
         n_tokens > 0,
         next_logp[jnp.arange(BM)[:, None], tokens[:, :, 0]],
         0.0)                                                   # (BM, R)
-    if S1 == 1:
-        return total
 
-    scratch_k = jnp.zeros((clm.n_layers, BM, R, S1, clm.n_heads,
-                           clm.d_head), clm.dtype)
-    scratch_v = jnp.zeros_like(scratch_k)
-    s_ids = jnp.arange(S1)[None, None, :]
+    # absolute positions: cache length + 0..S1-1
+    pos = cache.lengths[:, None, None] + jnp.arange(S1)[None, None, :]
+    h = clm._embed_token(tokens, pos)                          # (BM, R, S1, d)
+    s_ids = jnp.arange(S1)
+    causal = s_ids[None, :] <= s_ids[:, None]  # key t visible to query s iff t<=s
+    scale = jnp.asarray(np.sqrt(clm.d_head), h.dtype)
 
-    x = clm._embed_token(tokens[:, :, 0],
-                         cache.lengths[:, None].repeat(R, 1))  # (BM, R, d)
-    for s in range(S1 - 1):
-        h = x
-        smask = jnp.broadcast_to(s_ids <= s, (BM, R, S1))
-        for li in range(clm.n_layers):
-            k_t, v_t = clm._kv(li, h)                          # (BM, R, H, Dh)
-            scratch_k = scratch_k.at[li, :, :, s].set(k_t.astype(clm.dtype))
-            scratch_v = scratch_v.at[li, :, :, s].set(v_t.astype(clm.dtype))
-            lp = clm.p[f"layer{li}"]
-            hn = clm._ln(h, lp["ln1"])
-            q = clm._proj(hn, lp["attn"]["query"])             # (BM, R, H, Dh)
-            scale = jnp.asarray(np.sqrt(clm.d_head), q.dtype)
-            sc_cache = jnp.einsum("brhk,blhk->brhl", q,
-                                  cache.k[li]) / scale
-            sc_cache = jnp.where(cache_mask[:, None, None, :], sc_cache,
-                                 NEG_INF)
-            sc_scr = jnp.einsum("brhk,brshk->brhs", q,
-                                scratch_k[li]) / scale
-            sc_scr = jnp.where(smask[:, :, None, :], sc_scr, NEG_INF)
-            sc = jnp.concatenate([sc_cache, sc_scr], axis=-1)
-            w = jax.nn.softmax(sc, axis=-1)
-            w_cache, w_scr = w[..., :Lmax], w[..., Lmax:]
-            o = (jnp.einsum("brhl,blhk->brhk", w_cache, cache.v[li])
-                 + jnp.einsum("brhs,brshk->brhk", w_scr, scratch_v[li]))
-            h = h + clm._attn_out(o, lp["attn"]["out"])
-            hn = clm._ln(h, lp["ln2"])
-            hn = hn @ lp["ff1"]["kernel"] + lp["ff1"]["bias"]
-            hn = jax.nn.relu(hn)
-            hn = hn @ lp["ff2"]["kernel"] + lp["ff2"]["bias"]
-            h = h + hn
-        logp = jax.nn.log_softmax(clm._logits(h), axis=-1)     # (BM, R, V)
+    k0s, v0s = [], []
+    for li in range(clm.n_layers):
+        lp = clm.p[f"layer{li}"]
+        hn = clm._ln(h, lp["ln1"])
+        q = clm._proj(hn, lp["attn"]["query"])             # (BM, R, S1, H, Dh)
+        k = clm._proj(hn, lp["attn"]["key"])
+        v = clm._proj(hn, lp["attn"]["value"])
+        k0s.append(k[:, :, 0])
+        v0s.append(v[:, :, 0])
+        # cache attention: every position sees the whole (valid) prefix
+        sc_cache = jnp.einsum("brshk,blhk->brshl", q, cache.k[li]) / scale
+        sc_cache = jnp.where(cache_mask[:, None, None, None, :], sc_cache,
+                             NEG_INF)
+        # own-row attention, causal
+        sc_own = jnp.einsum("brshk,brthk->brsht", q, k) / scale
+        sc_own = jnp.where(causal[None, None, :, None, :], sc_own, NEG_INF)
+        sc = jnp.concatenate([sc_cache, sc_own], axis=-1)
+        w = jax.nn.softmax(sc, axis=-1)
+        o = (jnp.einsum("brshl,blhk->brshk", w[..., :Lmax], cache.v[li])
+             + jnp.einsum("brsht,brthk->brshk", w[..., Lmax:], v))
+        h = h + clm._attn_out(o, lp["attn"]["out"])
+        hn = clm._ln(h, lp["ln2"])
+        hn = hn @ lp["ff1"]["kernel"] + lp["ff1"]["bias"]
+        hn = jax.nn.relu(hn)
+        hn = hn @ lp["ff2"]["kernel"] + lp["ff2"]["bias"]
+        h = h + hn
+
+    logp = jax.nn.log_softmax(clm._logits(h), axis=-1)     # (BM, R, S1, V)
+    # position s's logits score token s+1
+    if S1 > 1:
         contrib = jnp.take_along_axis(
-            logp, tokens[:, :, s + 1: s + 2], axis=-1)[..., 0]
-        total = total + jnp.where(s + 1 < n_tokens, contrib, 0.0)
-        x = clm._embed_token(tokens[:, :, s + 1],
-                             cache.lengths[:, None].repeat(R, 1) + s + 1)
-    return total
+            logp[:, :, :-1], tokens[:, :, 1:, None], axis=-1)[..., 0]
+        s_valid = (jnp.arange(1, S1)[None, None, :] < n_tokens[:, :, None])
+        total = total + jnp.sum(jnp.where(s_valid, contrib, 0.0), axis=-1)
+    return (total, logp[:, :, 0], jnp.stack(k0s), jnp.stack(v0s))
 
 
 def make_lm_beam_search(
@@ -292,8 +300,8 @@ def make_lm_beam_search(
             ext_n = jnp.broadcast_to(1 + n_suf, (BM, C))
             peek_tokens = jnp.concatenate([stay_tokens, ext_tokens], axis=1)
             peek_n = jnp.concatenate([stay_n, ext_n], axis=1)  # (BM, 1+C)
-            peek_scores = _grouped_peek(clm, state.cache, peek_tokens,
-                                        peek_n, state.next_logp)
+            peek_scores, peek_logp0, peek_k0, peek_v0 = _grouped_peek(
+                clm, state.cache, peek_tokens, peek_n, state.next_logp)
             # pt per row = (parent_prefix_score + continuation) * panelty
             #              + len * bonus
             slot = jnp.where(
@@ -348,14 +356,32 @@ def make_lm_beam_search(
                 axis=-1)[:, 0]
             new_prefix_score = state.prefix_score[sel_parent] + \
                 jnp.where(sel_ext, inc, 0.0)
-            new_cache = CachedLM.gather(state.cache, sel_parent)
+            # Inactive frames reorder with the identity and write nothing,
+            # so the cache passes through bit-identically — no full-cache
+            # select (which would copy ~100s of MB per frame).
+            reorder = jnp.where(active, sel_parent, jnp.arange(BM))
+            gathered = CachedLM.gather(state.cache, reorder)
             do_step = sel_ext & sel_alive & active
-            step_logits, new_cache = clm.step(new_cache, sel_lm_tok,
-                                              write_mask=do_step)
+            # The committed LM step is free: the peek already computed the
+            # extension token's per-layer k/v and its next-token
+            # distribution — commit them by gather + masked write.
+            sel_slot = slot[sel]
+            k_sel = peek_k0[:, sel_parent, sel_slot]   # (layers, BM, H, Dh)
+            v_sel = peek_v0[:, sel_parent, sel_slot]
+            wpos = jnp.where(do_step, gathered.lengths, lm_ctx)
+            b_idx = jnp.arange(BM)
+            new_cache = LMCache(
+                k=gathered.k.at[:, b_idx, wpos].set(
+                    k_sel.astype(clm.dtype), mode="drop"),
+                v=gathered.v.at[:, b_idx, wpos].set(
+                    v_sel.astype(clm.dtype), mode="drop"),
+                lengths=jnp.where(do_step, gathered.lengths + 1,
+                                  gathered.lengths),
+            )
             new_next_logp = jnp.where(
                 do_step[:, None],
-                jax.nn.log_softmax(step_logits, axis=-1),
-                state.next_logp[sel_parent])
+                peek_logp0[sel_parent, sel_slot],
+                state.next_logp[reorder])
 
             new_state = LMBeamState(
                 prefixes=jnp.where(active, new_prefixes, state.prefixes),
@@ -372,12 +398,8 @@ def make_lm_beam_search(
                              state.h2),
                 prefix_score=jnp.where(active, new_prefix_score,
                                        state.prefix_score),
-                next_logp=jnp.where(active, new_next_logp, state.next_logp),
-                cache=LMCache(
-                    k=jnp.where(active, new_cache.k, state.cache.k),
-                    v=jnp.where(active, new_cache.v, state.cache.v),
-                    lengths=jnp.where(active, new_cache.lengths,
-                                      state.cache.lengths)),
+                next_logp=new_next_logp,
+                cache=new_cache,
             )
             return new_state, ()
 

@@ -133,22 +133,23 @@ class CachedLM:
 
         b_idx = jnp.arange(B)
         pos_ids = jnp.arange(Lmax)[None, :]
+        # masked write via out-of-bounds drop: no full-tensor select copies
+        wpos = jnp.where(write_mask, pos, Lmax)
         new_k = cache.k
         new_v = cache.v
         for li in range(self.n_layers):
             k_t, v_t = self._kv(li, x)                         # (B, H, Dh)
-            k_li = cache.k[li].at[b_idx, pos].set(
-                k_t.astype(self.dtype))
-            v_li = cache.v[li].at[b_idx, pos].set(
-                v_t.astype(self.dtype))
-            # masked write: keep old rows where write_mask is False
-            k_li = jnp.where(write_mask[:, None, None, None],
-                             k_li, cache.k[li])
-            v_li = jnp.where(write_mask[:, None, None, None],
-                             v_li, cache.v[li])
+            k_li = cache.k[li].at[b_idx, wpos].set(
+                k_t.astype(self.dtype), mode="drop")
+            v_li = cache.v[li].at[b_idx, wpos].set(
+                v_t.astype(self.dtype), mode="drop")
             new_k = new_k.at[li].set(k_li)
             new_v = new_v.at[li].set(v_li)
-            ctx_mask = pos_ids <= pos[:, None]                 # incl. self
+            # attention context: committed prefix plus (only where written)
+            # the current token
+            ctx_mask = jnp.where(write_mask[:, None],
+                                 pos_ids <= pos[:, None],
+                                 pos_ids < pos[:, None])
             x = self._block(li, x, k_li, v_li, ctx_mask)
 
         logits = self._logits(x)
