@@ -22,11 +22,16 @@ def load_recognizer_variables(model_file: str, state_template=None):
     if model_file.endswith((".pth.tar", ".pth", ".pt")):
         from ..compat.torch_convert import convert_checkpoint
         return convert_checkpoint(model_file)
+    import jax
     import orbax.checkpoint as ocp
     payload = ocp.PyTreeCheckpointer().restore(os.path.abspath(model_file))
     if "params" in payload:
-        return {"params": payload["params"],
-                "batch_stats": payload.get("batch_stats", {})}
+        variables = {"params": payload["params"],
+                     "batch_stats": payload.get("batch_stats", {})}
+        # Orbax restores with the sharding the checkpoint was saved under
+        # (possibly a training mesh); normalize to host arrays so eval jits
+        # are free to place them.
+        return jax.tree.map(np.asarray, variables)
     raise ValueError(f"unrecognized checkpoint layout at {model_file}")
 
 
@@ -134,11 +139,17 @@ class EvalSession:
                 use_lm_pred=args.use_tfm_pred)
 
             @jax.jit
-            def forward_lm_beam(variables, x):
+            def prep_lm_beam(variables, x):
                 logits = model.apply(variables, x, train=False)
                 cv, ci, _b, _n = topk_logsoftmax(logits, k=depth)
                 logz = jax.scipy.special.logsumexp(
                     logits.astype(jnp.float32), axis=-1)
+                return cv, ci, logits, logz
+
+            # two dispatches: lm_fn is itself jitted, and nesting it inside
+            # another jit trips pjit const handling
+            def forward_lm_beam(variables, x):
+                cv, ci, logits, logz = prep_lm_beam(variables, x)
                 return lm_fn(cv, ci, logits, logz)
 
             self._forward_lm_beam = forward_lm_beam

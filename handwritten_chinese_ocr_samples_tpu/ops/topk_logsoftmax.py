@@ -65,7 +65,8 @@ def _kernel(x_ref, vals_ref, idx_ref, blank_ref, nabove_ref, *, k: int,
 @functools.partial(jax.jit,
                    static_argnames=("k", "t_tile", "interpret", "prune"))
 def topk_logsoftmax(logits: jnp.ndarray, k: int = 10, t_tile: int = 8,
-                    interpret: bool = False, prune: float = -6.9077554):
+                    interpret: bool | None = None,
+                    prune: float = -6.9077554):
     """(B, T, D) raw logits -> (vals (B,T,K), idx (B,T,K), blank (B,T),
     n_above (B,T)).
 
@@ -74,6 +75,8 @@ def topk_logsoftmax(logits: jnp.ndarray, k: int = 10, t_tile: int = 8,
     counts classes above the skip-search prune threshold (default
     log(0.001), `ctc_codec.py:128`).
     """
+    if interpret is None:  # Mosaic compiles on TPU; interpret elsewhere
+        interpret = jax.default_backend() != "tpu"
     B, T, D = logits.shape
     # pad T to the tile and D to the lane multiple
     T_pad = -(-T // t_tile) * t_tile
