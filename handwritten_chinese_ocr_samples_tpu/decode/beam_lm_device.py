@@ -160,12 +160,24 @@ def make_lm_beam_search(
     suffix_frames: int = 4,
     lm_ctx: int = 256,
     use_lm_pred: bool = True,
+    skip_search: bool = False,
+    prune: float = -6.9077554,  # log(0.001), `ctc_codec.py:128`
 ):
     """Build a jitted LM-fused beam search.
 
     Returned fn signature:
         fn(cand_vals (B,T,K), cand_idx (B,T,K), logits (B,T,D),
-           logz (B,T)) -> (prefixes (B,T), lengths (B,))
+           logz (B,T)[, blank_lp (B,T), n_above (B,T)])
+          -> (prefixes (B,T), lengths (B,))
+
+    ``skip_search=True`` reproduces the reference's pruning fast path
+    (`ctc_codec.py:124-181`): frames with exactly one class above the prune
+    threshold update every beam in place — no candidate enumeration, no
+    merge, no LM peek; only genuinely ambiguous frames pay for the full
+    search. To keep the per-frame ``lax.cond`` a real branch (vmap lowers
+    cond to select, executing BOTH sides), skip mode decodes batch items
+    sequentially via ``lax.map`` — the latency-oriented configuration.
+    ``blank_lp``/``n_above`` come from ``ops.topk_logsoftmax``.
     """
     BM, K = beam_size, depth
     M = (lm_depth if lm_depth is not None else depth) if use_lm_pred else 0
@@ -175,7 +187,8 @@ def make_lm_beam_search(
     codec2lm_j = jnp.asarray(codec2lm)
     lm2codec_j = jnp.asarray(lm2codec)
 
-    def decode_one(cand_vals, cand_idx, logits, logz):
+    def decode_one(cand_vals, cand_idx, logits, logz,
+                   blank_lp=None, n_above=None):
         T = cand_vals.shape[0]
         L = T
 
@@ -217,10 +230,14 @@ def make_lm_beam_search(
             cache=cache,
         )
 
-        def step(state, t):
+        def full_step(state, t):
             active = t < end_step
             vis_idx = cand_idx[t]                              # (K,)
             vis_p = cand_vals[t]                               # (K,)
+            if skip_search:
+                # fallback candidates = surviving classes only
+                # (`ctc_codec.py:144,172-178`)
+                vis_idx = jnp.where(vis_p > prune, vis_idx, unknown_id)
 
             # ---- linguistic candidates per beam (`ctc_codec.py:215-227`)
             if M > 0:
@@ -403,11 +420,97 @@ def make_lm_beam_search(
             )
             return new_state, ()
 
+        def fast_step(state, t):
+            """Single-survivor in-place update (`ctc_codec.py:145-171`)."""
+            pidx = cand_idx[t, 0]
+            p = cand_vals[t, 0]
+            p0 = blank_lp[t]
+            frame_on = (pidx < unknown_id) & (t < end_step)
+
+            prob = _logaddexp(state.pb, state.pnb)
+            alive = prob > NEG_INF * 0.5
+            tail = jnp.where(
+                state.lengths > 0,
+                state.prefixes[jnp.arange(BM),
+                               jnp.maximum(state.lengths - 1, 0)],
+                jnp.int32(-1))
+            is_blank = pidx == blank_id
+            is_rep = pidx == tail
+            pb_live = state.pb > NEG_INF * 0.5
+            # branch conditions per beam
+            ext = (~is_blank) & ((~is_rep) | pb_live)   # appends the char
+            merge = (~is_blank) & is_rep & (~pb_live)
+
+            new_pb = jnp.where(
+                is_blank, prob + p,
+                jnp.where(ext, NEG_INF,
+                          jnp.where(merge, prob + p0, state.pb)))
+            new_pnb = jnp.where(
+                is_blank, state.pnb,
+                jnp.where(ext,
+                          jnp.where(is_rep, state.pb + p, prob + p),
+                          jnp.where(merge, state.pnb + p, state.pnb)))
+
+            upd = frame_on & alive
+            ext_u = ext & upd
+            app_pos = jnp.minimum(state.lengths, L - 1)
+            appended = state.prefixes.at[jnp.arange(BM), app_pos].set(
+                jnp.where(ext_u, pidx,
+                          state.prefixes[jnp.arange(BM), app_pos]))
+            nh1, nh2 = _hash_extend(state.h1, state.h2, pidx)
+
+            # LM bookkeeping: one cache step for the appended char
+            lm_tok = jnp.broadcast_to(
+                codec2lm_j[jnp.clip(pidx, 0, unknown_id)], (BM,))
+            inc = jnp.take_along_axis(state.next_logp, lm_tok[:, None],
+                                      axis=-1)[:, 0]
+            step_logits, new_cache = clm.step(state.cache, lm_tok,
+                                              write_mask=ext_u)
+            new_next_logp = jnp.where(
+                ext_u[:, None],
+                jax.nn.log_softmax(step_logits, axis=-1),
+                state.next_logp)
+
+            new_state = LMBeamState(
+                prefixes=jnp.where(ext_u[:, None], appended, state.prefixes),
+                lengths=state.lengths + ext_u.astype(jnp.int32),
+                pb=jnp.where(upd, new_pb, state.pb),
+                pnb=jnp.where(upd, new_pnb, state.pnb),
+                h1=jnp.where(ext_u, nh1, state.h1),
+                h2=jnp.where(ext_u, nh2, state.h2),
+                prefix_score=state.prefix_score
+                + jnp.where(ext_u, inc, 0.0),
+                next_logp=new_next_logp,
+                cache=new_cache,
+            )
+            return new_state, ()
+
+        if skip_search:
+            def step(state, t):
+                # inactive frames also take the (cheap, no-op) fast branch
+                use_fast = (n_above[t] == 1) | (t >= end_step)
+                return jax.lax.cond(
+                    use_fast,
+                    lambda s: fast_step(s, t),
+                    lambda s: full_step(s, t),
+                    state)
+        else:
+            step = full_step
+
         state, _ = jax.lax.scan(step, state, jnp.arange(T))
         return state.prefixes[0], state.lengths[0]
 
-    @jax.jit
-    def run(cand_vals, cand_idx, logits, logz):
-        return jax.vmap(decode_one)(cand_vals, cand_idx, logits, logz)
+    if skip_search:
+        @jax.jit
+        def run(cand_vals, cand_idx, logits, logz, blank_lp, n_above):
+            # lax.map keeps the per-frame cond a real branch (vmap would
+            # lower it to select and execute both sides)
+            return jax.lax.map(
+                lambda a: decode_one(*a),
+                (cand_vals, cand_idx, logits, logz, blank_lp, n_above))
+    else:
+        @jax.jit
+        def run(cand_vals, cand_idx, logits, logz):
+            return jax.vmap(decode_one)(cand_vals, cand_idx, logits, logz)
 
     return run

@@ -91,7 +91,7 @@ class EvalSession:
             and not getattr(args, "host_beam", False))
         self.device_lm_beam = (
             self.use_beam and isinstance(self.beam.lm, JaxLMBackend)
-            and args.use_tfm_score and not args.skip_search
+            and args.use_tfm_score
             and not getattr(args, "host_beam", False))
 
         model = self.model
@@ -131,25 +131,30 @@ class EvalSession:
             lm = self.beam.lm
             clm = CachedLM(lm.lm_model, lm.lm_params)
             c2l, l2c = make_id_tables(self.codec, lm.tokenizer)
+            skip = bool(args.skip_search)
             lm_fn = make_lm_beam_search(
                 clm, c2l, l2c, beam_size=beam_size, depth=depth,
                 unknown_id=unknown_id, lm_panelty=args.lm_panelty,
                 len_bonus=len_bonus,
                 lm_ctx=min(lm.lm_model.max_len, 300),
-                use_lm_pred=args.use_tfm_pred)
+                use_lm_pred=args.use_tfm_pred,
+                skip_search=skip)
 
             @jax.jit
             def prep_lm_beam(variables, x):
                 logits = model.apply(variables, x, train=False)
-                cv, ci, _b, _n = topk_logsoftmax(logits, k=depth)
+                cv, ci, blank_lp, n_above = topk_logsoftmax(logits, k=depth)
                 logz = jax.scipy.special.logsumexp(
                     logits.astype(jnp.float32), axis=-1)
-                return cv, ci, logits, logz
+                return cv, ci, logits, logz, blank_lp, n_above
 
             # two dispatches: lm_fn is itself jitted, and nesting it inside
             # another jit trips pjit const handling
             def forward_lm_beam(variables, x):
-                cv, ci, logits, logz = prep_lm_beam(variables, x)
+                cv, ci, logits, logz, blank_lp, n_above = prep_lm_beam(
+                    variables, x)
+                if skip:
+                    return lm_fn(cv, ci, logits, logz, blank_lp, n_above)
                 return lm_fn(cv, ci, logits, logz)
 
             self._forward_lm_beam = forward_lm_beam

@@ -1,0 +1,105 @@
+"""Device skip-search (LM-fused) vs host skip decoder equivalence."""
+
+import numpy as np
+import pytest
+from scipy.special import log_softmax
+
+import jax
+import jax.numpy as jnp
+
+from handwritten_chinese_ocr_samples_tpu.core.codec import CTCCodec
+from handwritten_chinese_ocr_samples_tpu.decode.beam_host import (
+    BeamSearchConfig, BeamSearchDecoder,
+)
+from handwritten_chinese_ocr_samples_tpu.decode.beam_lm_device import (
+    make_id_tables, make_lm_beam_search,
+)
+from handwritten_chinese_ocr_samples_tpu.decode.lm_interface import (
+    JaxLMBackend,
+)
+from handwritten_chinese_ocr_samples_tpu.lm.cached import CachedLM
+from handwritten_chinese_ocr_samples_tpu.lm.infer import LMScorer
+from handwritten_chinese_ocr_samples_tpu.lm.model import CharTransformerLM
+from handwritten_chinese_ocr_samples_tpu.lm.tokenizer import Tokenizer
+from handwritten_chinese_ocr_samples_tpu.ops.topk_logsoftmax import (
+    topk_logsoftmax_xla,
+)
+
+CHARS = "abcdefgh"
+PRUNE = float(np.log(0.001))
+
+
+@pytest.fixture(scope="module")
+def setup():
+    codec = CTCCodec(CHARS)
+    tokenizer = Tokenizer.from_characters(CHARS)
+    model = CharTransformerLM(vocab_size=tokenizer.vocab_size, d_model=32,
+                              n_layers=2, n_heads=2, d_ff=64, max_len=64)
+    variables = model.init({"params": jax.random.key(5)},
+                           jnp.zeros((1, 8), jnp.int32), train=False)
+    params = variables["params"]
+    scorer = LMScorer(model, {"params": params}, tokenizer)
+    clm = CachedLM(model, params)
+    c2l, l2c = make_id_tables(codec, tokenizer)
+    return codec, clm, scorer, c2l, l2c
+
+
+def _peaky_preds(T, B, seed):
+    """Posteriors with many single-survivor frames (exercise the fast path)
+    and a few genuinely ambiguous ones; survivor count stays <= depth."""
+    rng = np.random.default_rng(seed)
+    D = len(CHARS) + 2
+    logits = rng.normal(size=(T, B, D)) * 0.2
+    for b in range(B):
+        for t in range(T):
+            r = rng.random()
+            if r < 0.45:
+                logits[t, b, 0] += 12.0      # confident blank
+            elif r < 0.8:
+                logits[t, b, rng.integers(1, D - 1)] += 12.0  # confident char
+            else:
+                # ambiguous: exactly two survivors share the mass
+                ids = rng.choice(np.arange(D - 1), size=2, replace=False)
+                logits[t, b, ids] += 12.0
+    return logits.astype(np.float32)
+
+
+@pytest.mark.parametrize("use_pred", [False, True])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_skip_device_matches_host(setup, use_pred, seed):
+    codec, clm, scorer, c2l, l2c = setup
+    BM, K = 4, 6
+    cfg = BeamSearchConfig(beam_size=BM, search_depth=K, lm_panelty=0.7,
+                           len_bonus=1.5, use_lm_pred=use_pred,
+                           use_lm_score=True, skip_search=True,
+                           prune_log_prob=PRUNE)
+    host = BeamSearchDecoder(codec, JaxLMBackend(scorer), cfg)
+
+    fn = make_lm_beam_search(
+        clm, c2l, l2c, beam_size=BM, depth=K, unknown_id=codec.unknown_id,
+        lm_panelty=0.7, len_bonus=1.5, lm_ctx=64, use_lm_pred=use_pred,
+        skip_search=True, prune=PRUNE)
+
+    logits_tbd = _peaky_preds(T=16, B=2, seed=seed)
+    logp_tbd = log_softmax(logits_tbd, axis=2)
+    want = host.decode(logp_tbd, already_log=True)
+
+    logits_btd = jnp.asarray(logits_tbd.transpose(1, 0, 2))
+    cv, ci, blank_lp, n_above = topk_logsoftmax_xla(logits_btd, k=K,
+                                                    prune=PRUNE)
+    logz = jax.scipy.special.logsumexp(
+        logits_btd.astype(jnp.float32), axis=-1)
+    prefixes, lengths = fn(cv, ci, logits_btd, logz, blank_lp, n_above)
+    got = codec.compact_to_texts(prefixes, lengths)
+    assert got == want, (use_pred, seed)
+
+
+def test_skip_host_sanity_survivor_counts(setup):
+    """The synthetic generator really produces single-survivor frames."""
+    logits = _peaky_preds(T=32, B=1, seed=3)
+    _, _, _, n_above = topk_logsoftmax_xla(
+        jnp.asarray(logits.transpose(1, 0, 2)), k=6, prune=PRUNE)
+    n = np.asarray(n_above)[0]
+    assert (n == 1).sum() > 8      # fast-path frames exist
+    assert (n > 1).sum() > 2       # ambiguous frames exist
+    assert (n <= 6).all()          # survivors fit in depth
