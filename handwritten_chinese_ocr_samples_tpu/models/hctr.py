@@ -76,7 +76,7 @@ class BasicBlock(nn.Module):
     drop_rate: float = 0.1
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         residual = x
         out = nn.Conv(self.planes, (3, 3), padding=1, dtype=self.dtype,
                       name="conv1")(x)
@@ -112,12 +112,19 @@ class SEResNetBackbone(nn.Module):
     num_blocks: Sequence[int] = (2, 4, 5, 1)
     dtype: Dtype = jnp.float32
     stage_drop: Sequence[float] = (0.3, 0.3, 0.3, 0.9)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
         widths = [self.out_channels // 8, self.out_channels // 4,
                   self.out_channels // 2, self.out_channels,
                   self.out_channels]  # 64, 128, 256, 512, 512
+        # Rematerialized blocks recompute activations in the backward pass,
+        # trading ~33% extra FLOPs for the dominant activation memory —
+        # raising the max train batch beyond the reference's OOM bound
+        # (`Debug_Notebook.ipynb` cells 5-6).
+        Block = (nn.remat(BasicBlock, static_argnums=(2,))
+                 if self.remat else BasicBlock)
 
         # Stem: conv-BN-ReLU x2, then height/2.
         x = nn.Conv(widths[0], (3, 3), padding=1, dtype=self.dtype,
@@ -136,12 +143,12 @@ class SEResNetBackbone(nn.Module):
         for stage in range(4):
             planes = widths[stage + 1]
             for b in range(self.num_blocks[stage]):
-                x = BasicBlock(
+                x = Block(
                     planes,
                     use_downsample=(b == 0 and in_planes != planes),
                     dtype=self.dtype,
                     name=f"block{stage + 1}_{b}",
-                )(x, train=train)
+                )(x, train)
                 in_planes = planes
             x = nn.Conv(planes, (3, 3), padding=1, dtype=self.dtype,
                         name=f"conv{stage + 1}")(x)
@@ -170,6 +177,7 @@ class HCTRModel(nn.Module):
     dtype: Dtype = jnp.float32
     backbone_channels: int = 512
     num_blocks: Sequence[int] = (2, 4, 5, 1)
+    remat: bool = False
 
     # Model-intrinsic config, mirroring the attribute-registry pattern of the
     # reference (`handwritten_ctr_model.py:159-162`, consumed at
@@ -184,7 +192,8 @@ class HCTRModel(nn.Module):
         x = x.astype(self.dtype)
         feats = SEResNetBackbone(out_channels=self.backbone_channels,
                                  num_blocks=tuple(self.num_blocks),
-                                 dtype=self.dtype, name="cnn")(x, train=train)
+                                 dtype=self.dtype, remat=self.remat,
+                                 name="cnn")(x, train=train)
         # (B, H=4, W, C=512) -> (B, W, H*C=2048). Native flatten order is
         # (H, C); the torch checkpoint converter permutes the head weight from
         # the reference's (C, H) order (`handwritten_ctr_model.py:173`).
@@ -195,6 +204,7 @@ class HCTRModel(nn.Module):
         return logits.astype(jnp.float32)
 
 
-def hctr_model(num_classes: int = 7375, dtype: Dtype = jnp.float32) -> HCTRModel:
+def hctr_model(num_classes: int = 7375, dtype: Dtype = jnp.float32,
+               remat: bool = False) -> HCTRModel:
     """Factory mirroring `handwritten_ctr_model.py:156`."""
-    return HCTRModel(num_classes=num_classes, dtype=dtype)
+    return HCTRModel(num_classes=num_classes, dtype=dtype, remat=remat)

@@ -65,6 +65,7 @@ def get_model_info(
     data_dir: str | None = None,
     chars_list_file: str | None = None,
     dtype: Any = jnp.float32,
+    **model_kwargs,
 ) -> Tuple[Any, str]:
     """Resolve (model, characters) for a model tag.
 
@@ -82,5 +83,6 @@ def get_model_info(
     if model_type not in _REGISTRY:
         raise ValueError(f"Model type: {model_type} not supported "
                          f"(available: {list_models()})")
-    model = _REGISTRY[model_type](num_classes=num_classes, dtype=dtype)
+    model = _REGISTRY[model_type](num_classes=num_classes, dtype=dtype,
+                                  **model_kwargs)
     return model, characters
