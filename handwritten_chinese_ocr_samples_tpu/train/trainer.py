@@ -127,6 +127,26 @@ class Trainer:
         return {k: jax.device_put(jnp.asarray(v), self.batch_sharding)
                 for k, v in out.items()}
 
+    def _device_iter(self, loader: DataLoader):
+        """Iterate device-resident batches with the next batch's label
+        encode + H2D overlapped with the current train step (the loader
+        itself already prefetches host batches in a background thread)."""
+        from concurrent.futures import ThreadPoolExecutor
+        it = iter(loader)
+
+        def fetch():
+            batch = next(it, None)
+            return None if batch is None else self._device_batch(batch)
+
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(fetch)
+            while True:
+                cur = fut.result()
+                if cur is None:
+                    return
+                fut = ex.submit(fetch)
+                yield cur
+
     # --------------------------------------------------------------- train
     def fit(self):
         cfg = self.cfg
@@ -159,14 +179,14 @@ class Trainer:
         dropout_rng = jax.random.fold_in(self.dropout_rng, epoch)
 
         end = time.time()
-        for i, batch in enumerate(loader):
+        for i, dev_batch in enumerate(self._device_iter(loader)):
             data_time.update(time.time() - end)
-            dev_batch = self._device_batch(batch)
+            n_items = int(dev_batch["widths"].shape[0])
             self.state, metrics = self.train_step(
                 self.state, dev_batch, dropout_rng)
             if (i + 1) % cfg.print_freq == 0:
                 loss = float(metrics["loss"])  # sync point
-                losses.update(loss, len(batch["labels"]))
+                losses.update(loss, n_items)
                 print(f"Epoch [{epoch}][{i + 1}/{len(loader)}] "
                       f"{batch_time} {data_time} {losses} "
                       f"grad_norm {float(metrics['grad_norm']):.2f} "
