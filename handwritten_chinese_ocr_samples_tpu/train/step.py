@@ -187,14 +187,23 @@ def make_eval_step(model, unknown_id: int, use_width_mask: bool = False):
 # --------------------------------------------------------------------- pjit
 def param_shardings(mesh: Mesh, params) -> Any:
     """Sharding tree: classifier head tensor-parallel over ``model``,
-    everything else replicated (grads all-reduced over ``data`` by XLA)."""
+    everything else replicated (grads all-reduced over ``data`` by XLA).
+
+    A dimension is only sharded when the axis size divides it — e.g. the
+    7375-class head does not split over a 2-way ``model`` axis (7375 is
+    odd) and falls back to replication.
+    """
+    model_size = mesh.shape.get("model", 1)
 
     def spec_for(path, leaf):
         names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        shape = getattr(leaf, "shape", ())
         if "linear" in names or "fc" in names:
-            if names[-1] == "kernel":
+            if (names[-1] == "kernel" and len(shape) == 2
+                    and shape[1] % model_size == 0):
                 return NamedSharding(mesh, P(None, "model"))
-            if names[-1] == "bias":
+            if (names[-1] == "bias" and len(shape) == 1
+                    and shape[0] % model_size == 0):
                 return NamedSharding(mesh, P("model"))
         return NamedSharding(mesh, P())
 
