@@ -157,16 +157,24 @@ def beam_search_from_topk(
                 NEG_INF)
             a_is_ext = a_ext
             # Row B: repeat-merge contribution to the unchanged prefix's pnb
-            # (`ctc_codec.py:263-265`).
-            b_pnb = jnp.where(is_rep & ~is_blank & ~is_unk & ~beam_dead,
-                              state.pnb[bi] + pj, NEG_INF)
+            # (`ctc_codec.py:263-265`). At most one candidate per beam can
+            # equal its tail (top-K candidates are distinct), so this is one
+            # row PER BEAM rather than per (beam, candidate) — the sort width
+            # shrinks from 2*BM*K to BM*(K+1).
+            rep_mask = (is_rep & ~is_blank & ~is_unk).reshape(BM, K)
+            rep_p = jnp.sum(jnp.where(rep_mask, pj.reshape(BM, K), 0.0),
+                            axis=1)
+            has_rep = jnp.any(rep_mask, axis=1)
+            b_pnb = jnp.where(
+                has_rep & (prob > NEG_INF * 0.5),
+                state.pnb + rep_p, NEG_INF)                     # (BM,)
 
-            n_rows = 2 * BM * K
-            row_parent = jnp.concatenate([bi, bi])
-            row_char = jnp.concatenate([cj, cj])
+            n_rows = BM * K + BM
+            row_parent = jnp.concatenate([bi, jnp.arange(BM)])
+            row_char = jnp.concatenate([cj, tail])
             row_is_ext = jnp.concatenate(
-                [a_is_ext, jnp.zeros_like(a_is_ext)])
-            row_pb = jnp.concatenate([a_pb, jnp.full_like(a_pb, NEG_INF)])
+                [a_is_ext, jnp.zeros((BM,), bool)])
+            row_pb = jnp.concatenate([a_pb, jnp.full((BM,), NEG_INF)])
             row_pnb = jnp.concatenate([a_pnb, b_pnb])
 
             # ---- keys

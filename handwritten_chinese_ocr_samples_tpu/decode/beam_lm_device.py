@@ -280,14 +280,25 @@ def make_lm_beam_search(
                 a_ext,
                 jnp.where(is_rep, state.pb[bi] + pj, prob[bi] + pj),
                 NEG_INF)
-            b_pnb = jnp.where(is_rep & ~is_blank & ~is_unk & ~beam_dead,
-                              state.pnb[bi] + pj, NEG_INF)
+            # Repeat-merge contribution to the unchanged prefix's pnb
+            # (`ctc_codec.py:263-265`): one row per beam. A candidate equal
+            # to the tail may occur twice (visual + LM proposal) and the
+            # reference accumulates per occurrence — logaddexp of m equal
+            # terms is the term + log(m).
+            rep_mask = (is_rep & ~is_blank & ~is_unk).reshape(BM, C)
+            rep_count = jnp.sum(rep_mask, axis=1)
+            rep_p = jnp.max(jnp.where(rep_mask, pj.reshape(BM, C), NEG_INF),
+                            axis=1)
+            b_pnb = jnp.where(
+                (rep_count > 0) & (prob > NEG_INF * 0.5),
+                state.pnb + rep_p + jnp.log(jnp.maximum(rep_count, 1)),
+                NEG_INF)                                        # (BM,)
 
-            n_rows = 2 * BM * C
-            row_parent = jnp.concatenate([bi, bi])
-            row_char = jnp.concatenate([cj, cj])
-            row_is_ext = jnp.concatenate([a_ext, jnp.zeros_like(a_ext)])
-            row_pb = jnp.concatenate([a_pb, jnp.full_like(a_pb, NEG_INF)])
+            n_rows = BM * C + BM
+            row_parent = jnp.concatenate([bi, jnp.arange(BM)])
+            row_char = jnp.concatenate([cj, tail])
+            row_is_ext = jnp.concatenate([a_ext, jnp.zeros((BM,), bool)])
+            row_pb = jnp.concatenate([a_pb, jnp.full((BM,), NEG_INF)])
             row_pnb = jnp.concatenate([a_pnb, b_pnb])
 
             ph1, ph2 = state.h1[row_parent], state.h2[row_parent]
@@ -324,7 +335,7 @@ def make_lm_beam_search(
             slot = jnp.where(
                 row_is_ext,
                 1 + jnp.concatenate([jnp.tile(jnp.arange(C), BM),
-                                     jnp.tile(jnp.arange(C), BM)]),
+                                     jnp.zeros((BM,), jnp.int32)]),
                 0)
             row_lm = (state.prefix_score[row_parent]
                       + peek_scores[row_parent, slot])
