@@ -117,3 +117,18 @@ def test_benchmark_host_beam_matches_device(artifacts):
     t_dev, _ = s_dev.decode_batch(batch["images"])
     t_host, _ = s_host.decode_batch(batch["images"])
     assert t_dev == t_host
+
+
+def test_run_single_on_reference_samples(artifacts):
+    """Single-image mode over the reference's sample text lines (read at
+    runtime; random-ish weights, so only the pipeline is asserted)."""
+    from tests.conftest import REFERENCE_PATH, reference_available
+    img_dir = os.path.join(REFERENCE_PATH, "images")
+    if not (reference_available() and os.path.isdir(img_dir)):
+        pytest.skip("reference sample images not present")
+    root, ckpt, lm_dir = artifacts
+    from handwritten_chinese_ocr_samples_tpu.eval.driver import run_single
+    sample = os.path.join(img_dir, "000000.jpg")
+    args = _args(root, ckpt, lm_dir, input=sample, benchmark_mode=False,
+                 decode_method="greedy-search", batch_size=1)
+    run_single(args)  # must not raise; prints file/pred/throughput
