@@ -17,10 +17,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 # The environment's sitecustomize may import jax (registering a TPU plugin)
 # before this conftest runs, making the env vars above too late — force the
-# platform through the live config instead.
+# platform through the live config instead. HCTR_TEST_TPU=1 keeps the native
+# platform (for the opt-in slow/perf tests).
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("HCTR_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       "/tmp/jax_cache_hctr_tests")
