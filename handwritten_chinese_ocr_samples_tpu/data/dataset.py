@@ -16,7 +16,7 @@ by design (SURVEY.md §7 hard part 3).
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -26,7 +26,7 @@ import codecs
 import os
 import random
 import shutil
-from typing import Dict, List, Sequence, Tuple
+from typing import List, Sequence
 
 
 def map_code_to_char(code: str) -> str:

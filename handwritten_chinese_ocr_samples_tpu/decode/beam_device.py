@@ -26,7 +26,7 @@ TPU executable with only the final prefixes crossing to the host.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -28,7 +28,6 @@ unknown N+1) and LM token ids (specials 0..3, chars 4..). ``codec2lm`` /
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

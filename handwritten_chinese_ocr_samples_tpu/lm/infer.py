@@ -17,7 +17,6 @@ one ``next_k_words`` per beam per frame).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import List, Sequence
 
 import jax

@@ -15,7 +15,6 @@ import os
 import shutil
 from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 import orbax.checkpoint as ocp
 

@@ -14,7 +14,7 @@ tying between the embedding and output projection is on by default.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -11,7 +11,7 @@ position ``t`` predicts token ``t+1``; loss is masked to each sentence's
 from __future__ import annotations
 
 import time
-from typing import Iterable, List, Optional, Sequence
+from typing import Iterable, List, Sequence
 
 import jax
 import jax.numpy as jnp

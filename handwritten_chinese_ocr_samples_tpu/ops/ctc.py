@@ -19,7 +19,6 @@ training quality — the bucketed pad columns replicate the last image column
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import optax
 

@@ -16,7 +16,7 @@ white then replicate the right edge — and normalize ``(x - 127.5) / 127.5``.
 from __future__ import annotations
 
 import time
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 

@@ -22,7 +22,6 @@ all-reduce emitted by XLA from sharding annotations instead of DDP/NCCL.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Optional
 
 import jax

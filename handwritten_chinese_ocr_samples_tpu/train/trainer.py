@@ -15,19 +15,17 @@ per-epoch test + checkpoint. Differences from the reference are TPU-idiomatic:
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..core.codec import CTCCodec
 from ..data.bucketing import AlignCollate, BucketSpec
 from ..data.dataset import ImageDataset
 from ..data.loader import DataLoader
 from ..eval.metrics import AverageMeter, cer_counts
-from ..ops.decode import greedy_decode_device
 from ..parallel.mesh import batch_sharding, make_mesh
 from .checkpoint import load_checkpoint, save_checkpoint, wait_for_checkpoint
 from .step import (adjust_learning_rate, create_train_state, make_eval_step,
