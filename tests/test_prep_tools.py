@@ -192,3 +192,17 @@ def test_build_split(tmp_path):
     val = (tmp_path / "val_img_id_gt.txt").read_text().strip().split("\n")
     assert len(train) == 18 and len(val) == 2
     assert set(train) | set(val) == set(rows)
+
+
+def test_dgrl_zip_input(tmp_path):
+    import zipfile as zf
+    p1 = tmp_path / "a.dgrl"
+    _write_dgrl(str(p1), [("你好", 5, 5, _glyph(7))])
+    archive = tmp_path / "pages.zip"
+    with zf.ZipFile(archive, "w") as z:
+        z.write(p1, "a.dgrl")
+    out = tmp_path / "out"
+    n, manifest = our_dgrl.dgrl2png(str(archive), str(out), 128)
+    assert n == 1
+    assert (out / "a-L1.png").exists()
+    assert "你好" in open(manifest, encoding="utf-8").read()
