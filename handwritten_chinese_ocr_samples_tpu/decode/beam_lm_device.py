@@ -12,14 +12,16 @@ prediction AND scoring (`ctc_codec.py:183-285` with ``use_tfm_pred`` +
     machinery as ``beam_device``;
   * scoring ``pt = lm_score(prefix + suffix) * lm_panelty +
     len(prefix) * len_bonus`` (`ctc_codec.py:267-274`): the prefix part is
-    maintained incrementally (one KV-cached LM step per frame per beam);
-    the suffix part (next <=4 greedy chars, re-scored every frame because
-    the suffix changes with t) comes from a grouped *peek* that attends
-    each parent beam's cache plus transient scratch — nothing is ever
-    re-scored from scratch, unlike the reference's per-(beam, frame) full
-    transformer calls (`transformer_infer.py:41-60`);
-  * after top-``BM`` selection, caches are gathered by parent and stepped
-    once with the extension character (masked for stay beams).
+    maintained incrementally; the suffix part (next <=4 greedy chars,
+    re-scored every frame because the suffix changes with t) comes from a
+    grouped teacher-forced *peek* — one causal forward over each
+    continuation, attending the parent beam's KV cache plus transient
+    scratch. Nothing is ever re-scored from scratch, unlike the
+    reference's per-(beam, frame) full transformer calls
+    (`transformer_infer.py:41-60`);
+  * committing a selected extension is free: the peek already produced the
+    extension token's per-layer k/v and its next-token distribution, so
+    the "LM step" is a cache gather + masked write (no extra forward).
 
 The characters live in two id spaces: CTC class ids (blank 0, chars 1..N,
 unknown N+1) and LM token ids (specials 0..3, chars 4..). ``codec2lm`` /
