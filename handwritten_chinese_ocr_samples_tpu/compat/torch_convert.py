@@ -68,6 +68,19 @@ def _module_path(torch_prefix: str) -> Tuple[str, ...]:
             out.append("down_conv" if idx == "0" else "down_bn")
             i += 2
             continue
+        if p == "transforms" and i + 2 < len(parts):
+            # MultiScaleFeatureFusion: transforms.<i>.{0=conv,1=bn}
+            # (`innovation.py:199-205`)
+            stage, idx = parts[i + 1], parts[i + 2]
+            out.append(f"transform{stage}_" + ("conv" if idx == "0"
+                                               else "bn"))
+            i += 3
+            continue
+        if p == "fusion" and i + 1 < len(parts) and parts[i + 1].isdigit():
+            # fusion.{0=conv,1=bn} (`innovation.py:208-212`)
+            out.append("fusion_conv" if parts[i + 1] == "0" else "fusion_bn")
+            i += 2
+            continue
         if p == "se" and i + 2 < len(parts) and parts[i + 1] == "fc":
             idx = parts[i + 2]
             out.append("se")

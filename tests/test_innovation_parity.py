@@ -60,3 +60,35 @@ def test_classification_forward_parity(pair):
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
     # same predicted classes
     np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+
+
+def test_full_variant_parity():
+    """use_multiscale + use_spatial_attn: fusion/attention weights convert
+    and the forward matches."""
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, REFERENCE_PATH)
+    try:
+        import innovation as ref_mod
+    finally:
+        sys.path.remove(REFERENCE_PATH)
+    torch.manual_seed(1)
+    tmodel = ref_mod.hctr_model(use_multiscale=True, use_spatial_attn=True)
+    tmodel.set_num_classes(NUM_CLASSES)
+    tmodel.eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    variables = convert_state_dict(sd)
+    jmodel = innovation_model(NUM_CLASSES, use_multiscale=True,
+                              use_spatial_attn=True)
+    apply = jax.jit(lambda v, x: jmodel.apply(v, x, train=False))
+
+    t_count = sum(p.numel() for p in tmodel.parameters())
+    j_count = sum(np.asarray(p).size
+                  for p in jax.tree.leaves(variables["params"]))
+    assert j_count == t_count
+
+    rng = np.random.default_rng(4)
+    x = rng.uniform(-1, 1, size=(2, 1, 128, 128)).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x)).numpy()
+    got = np.asarray(apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got, want, atol=3e-3, rtol=1e-3)
