@@ -344,26 +344,29 @@ def make_lm_beam_search(
                 row_len.astype(jnp.float32) * len_bonus
 
             # ---- merge + select
-            order = jnp.lexsort((kh2, kh1))
-            kh1_s, kh2_s = kh1[order], kh2[order]
+            # one fused multi-operand sort carries all payload columns
+            (kh1_s, kh2_s, pb_s, pnb_s, pt_s, par_s, chr_s, ext_i_s,
+             dead_i_s, slot_s) = jax.lax.sort(
+                (kh1, kh2, row_pb, row_pnb, row_pt, row_parent, row_char,
+                 row_is_ext.astype(jnp.int32), row_dead.astype(jnp.int32),
+                 slot),
+                num_keys=2)
+            ext_s = ext_i_s.astype(bool)
+            dead_s = dead_i_s.astype(bool)
             seg_start = jnp.concatenate(
                 [jnp.array([True]),
                  (kh1_s[1:] != kh1_s[:-1]) | (kh2_s[1:] != kh2_s[:-1])])
-            pb_s = row_pb[order]
-            pnb_s = row_pnb[order]
             # per-row values are suffix aggregates; only segment-start
             # rows (the ones consumed below) carry full segment totals
             pb_m = _segment_logaddexp_sorted(pb_s, seg_start)
             pnb_m = _segment_logaddexp_sorted(pnb_s, seg_start)
-            dead_s = row_dead[order]
-            total = _logaddexp(pb_m, pnb_m) + row_pt[order]
+            total = _logaddexp(pb_m, pnb_m) + pt_s
             total = jnp.where(seg_start & ~dead_s, total, NEG_INF)
 
             top_tot, top_idx = jax.lax.top_k(total, BM)
-            sel = order[top_idx]
-            sel_parent = row_parent[sel]
-            sel_ext = row_is_ext[sel]
-            sel_char = row_char[sel]
+            sel_parent = par_s[top_idx]
+            sel_ext = ext_s[top_idx]
+            sel_char = chr_s[top_idx]
             sel_alive = top_tot > NEG_INF * 0.5
 
             new_prefixes = state.prefixes[sel_parent]
@@ -394,7 +397,7 @@ def make_lm_beam_search(
             # The committed LM step is free: the peek already computed the
             # extension token's per-layer k/v and its next-token
             # distribution — commit them by gather + masked write.
-            sel_slot = slot[sel]
+            sel_slot = slot_s[top_idx]
             k_sel = peek_k0[:, sel_parent, sel_slot]   # (layers, BM, H, Dh)
             v_sel = peek_v0[:, sel_parent, sel_slot]
             wpos = jnp.where(do_step, gathered.lengths, lm_ctx)
