@@ -163,6 +163,8 @@ def make_lm_beam_search(
     use_lm_pred: bool = True,
     skip_search: bool = False,
     prune: float = -6.9077554,  # log(0.001), `ctc_codec.py:128`
+    kept_budget: int | None = None,
+    group_size: int = 1,
 ):
     """Build a jitted LM-fused beam search.
 
@@ -175,10 +177,24 @@ def make_lm_beam_search(
     (`ctc_codec.py:124-181`): frames with exactly one class above the prune
     threshold update every beam in place — no candidate enumeration, no
     merge, no LM peek; only genuinely ambiguous frames pay for the full
-    search. To keep the per-frame ``lax.cond`` a real branch (vmap lowers
-    cond to select, executing BOTH sides), skip mode decodes batch items
-    sequentially via ``lax.map`` — the latency-oriented configuration.
+    search. On device this becomes **frame compaction**: runs of confident-
+    blank frames collapse to one closed-form (pb, pnb) operator computed by
+    a batched associative scan, and only char-emitting/ambiguous frames
+    enter the sequential scan (see ``decode_one``).
     ``blank_lp``/``n_above`` come from ``ops.topk_logsoftmax``.
+
+    ``kept_budget`` statically caps the number of scanned frames per line
+    (None = T, always exact). A line whose kept-frame count exceeds the
+    budget is truncated mid-line — size it from data
+    (``count_kept_frames``); ~2-3x the expected character count is ample
+    for trained models.
+
+    ``group_size=G`` vmaps G batch items through one scan (``lax.map`` over
+    B/G groups): the per-frame merge/peek work batches G-wide on the MXU.
+    Under vmap the fast/full ``lax.cond`` lowers to a select that executes
+    both sides, so G>1 trades per-item branch savings for batch
+    parallelism — a large win whenever G ambiguous frames rarely align.
+    B must be divisible by G.
     """
     BM, K = beam_size, depth
     M = (lm_depth if lm_depth is not None else depth) if use_lm_pred else 0
@@ -231,8 +247,7 @@ def make_lm_beam_search(
             cache=cache,
         )
 
-        def full_step(state, t):
-            active = t < end_step
+        def full_step(state, t, active):
             vis_idx = cand_idx[t]                              # (K,)
             vis_p = cand_vals[t]                               # (K,)
             if skip_search:
@@ -435,12 +450,12 @@ def make_lm_beam_search(
             )
             return new_state, ()
 
-        def fast_step(state, t):
+        def fast_step(state, t, active):
             """Single-survivor in-place update (`ctc_codec.py:145-171`)."""
             pidx = cand_idx[t, 0]
             p = cand_vals[t, 0]
             p0 = blank_lp[t]
-            frame_on = (pidx < unknown_id) & (t < end_step)
+            frame_on = (pidx < unknown_id) & active
 
             prob = _logaddexp(state.pb, state.pnb)
             alive = prob > NEG_INF * 0.5
@@ -501,31 +516,130 @@ def make_lm_beam_search(
             return new_state, ()
 
         if skip_search:
-            def step(state, t):
-                # inactive frames also take the (cheap, no-op) fast branch
-                use_fast = (n_above[t] == 1) | (t >= end_step)
-                return jax.lax.cond(
-                    use_fast,
-                    lambda s: fast_step(s, t),
-                    lambda s: full_step(s, t),
-                    state)
-        else:
-            step = full_step
+            # ---- frame compaction (`ctc_codec.py:124-181` semantics).
+            # Classify every frame:
+            #   * blank-fast (single survivor == blank): updates every beam
+            #     as pb' = (pb (+) pnb) + p, pnb' = pnb — a linear operator
+            #     over the (logaddexp, +) semiring. Runs of these fold into
+            #     ONE closed-form operator [[A, B], [-inf, 0]] via an
+            #     associative scan — they never enter the sequential scan;
+            #   * no-op (survivor == unknown, or t >= end_step): identity;
+            #   * kept (char-fast single survivor, or ambiguous full
+            #     search): genuinely sequential — prefix/LM-cache state
+            #     changes. Only these frames are scanned, which is the
+            #     whole speedup: for peaky posteriors kept-frame count ~
+            #     2-3x the character count, not the pixel width.
+            t_ids = jnp.arange(T)
+            in_range = t_ids < end_step
+            survivor = cand_idx[:, 0]
+            fast = n_above == 1
+            blankop = fast & (survivor == blank_id) & in_range
+            charfast = (fast & (survivor != blank_id)
+                        & (survivor < unknown_id) & in_range)
+            kept = (~fast & in_range) | charfast
 
-        state, _ = jax.lax.scan(step, state, jnp.arange(T))
+            p_top = cand_vals[:, 0]
+            opA = jnp.where(blankop, p_top, 0.0)
+            opB = jnp.where(blankop, p_top, NEG_INF)
+
+            def comb(x, y):
+                fx, ax, bx = x
+                fy, ay, by = y
+                a = ay + ax
+                b = _logaddexp(ay + bx, by)
+                return (fx | fy,
+                        jnp.where(fy, ay, a),
+                        jnp.where(fy, by, b))
+
+            # Segmented scan: kept frames are (reset, identity) elements, so
+            # scanval[t] = product of blank-ops since the last kept frame.
+            _, As, Bs = jax.lax.associative_scan(
+                comb, (kept, opA, opB))
+            preA = jnp.concatenate([jnp.zeros((1,), As.dtype), As[:-1]])
+            preB = jnp.concatenate(
+                [jnp.full((1,), NEG_INF, Bs.dtype), Bs[:-1]])
+            tailA, tailB = As[T - 1], Bs[T - 1]
+
+            n_kept = jnp.sum(kept)
+            budget = T if kept_budget is None else min(kept_budget, T)
+            # kept frames first, in time order (stable two-band sort key)
+            order = jnp.argsort(jnp.where(kept, t_ids, T + t_ids))
+            kept_ts = order[:budget]
+            i_ids = jnp.arange(budget)
+            act = i_ids < n_kept
+            stepA = jnp.where(act, preA[kept_ts], 0.0)
+            stepB = jnp.where(act, preB[kept_ts], NEG_INF)
+            is_cf = charfast[kept_ts] & act
+
+            def step(state, xs):
+                t, a_op, b_op, cf, active = xs
+                # fold the preceding blank-fast run into (pb, pnb)
+                state = state._replace(
+                    pb=_logaddexp(a_op + state.pb, b_op + state.pnb))
+                # under vmap (grouped decode) this cond lowers to a select
+                # executing both sides; ungrouped it is a real branch
+                return jax.lax.cond(
+                    cf | ~active,
+                    lambda s: fast_step(s, t, active),
+                    lambda s: full_step(s, t, active),
+                    state)
+
+            state, _ = jax.lax.scan(
+                step, state, (kept_ts, stepA, stepB, is_cf, act))
+            # blank-fast frames after the last kept frame
+            state = state._replace(
+                pb=_logaddexp(tailA + state.pb, tailB + state.pnb))
+        else:
+            def step(state, t):
+                return full_step(state, t, t < end_step)
+
+            state, _ = jax.lax.scan(step, state, jnp.arange(T))
         return state.prefixes[0], state.lengths[0]
 
     if skip_search:
         @jax.jit
         def run(cand_vals, cand_idx, logits, logz, blank_lp, n_above):
-            # lax.map keeps the per-frame cond a real branch (vmap would
-            # lower it to select and execute both sides)
-            return jax.lax.map(
-                lambda a: decode_one(*a),
-                (cand_vals, cand_idx, logits, logz, blank_lp, n_above))
+            args = (cand_vals, cand_idx, logits, logz, blank_lp, n_above)
+            B = cand_vals.shape[0]
+            G = min(group_size, B)
+            if G <= 1:
+                # ungrouped: lax.map keeps the fast/full cond a real branch
+                return jax.lax.map(lambda a: decode_one(*a), args)
+            if B % G != 0:
+                raise ValueError(f"batch {B} not divisible by group {G}")
+            grouped = jax.tree.map(
+                lambda x: x.reshape((B // G, G) + x.shape[1:]), args)
+            prefixes, lengths = jax.lax.map(
+                lambda a: jax.vmap(decode_one)(*a), grouped)
+            return (prefixes.reshape(B, prefixes.shape[-1]),
+                    lengths.reshape(B))
     else:
         @jax.jit
         def run(cand_vals, cand_idx, logits, logz):
             return jax.vmap(decode_one)(cand_vals, cand_idx, logits, logz)
 
     return run
+
+
+def count_kept_frames(cand_idx: jnp.ndarray, n_above: jnp.ndarray,
+                      *, unknown_id: int, blank_id: int = 0,
+                      suffix_frames: int = 4) -> np.ndarray:
+    """Per-line count of frames the compacted skip-search must scan
+    (char-emitting single-survivor frames + ambiguous frames inside the
+    search window) — use to size ``kept_budget``. Host-side helper."""
+    cand_idx = np.asarray(cand_idx)
+    n_above = np.asarray(n_above)
+    B, T = n_above.shape
+    out = np.zeros((B,), np.int64)
+    for b in range(B):
+        arg = cand_idx[b, :, 0]
+        prev = np.concatenate([[-1], arg[:-1]])
+        keep = (arg != blank_id) & (arg != unknown_id) & (arg != prev)
+        end = (int(np.max(np.where(keep, np.arange(T), -1))) + suffix_frames
+               if keep.any() else 0)
+        end = min(end, T)
+        fast = n_above[b, :end] == 1
+        sv = arg[:end]
+        charfast = fast & (sv != blank_id) & (sv < unknown_id)
+        out[b] = int((~fast).sum() + charfast.sum())
+    return out

@@ -94,6 +94,66 @@ def test_skip_device_matches_host(setup, use_pred, seed):
     assert got == want, (use_pred, seed)
 
 
+@pytest.mark.parametrize("group", [2, 4])
+def test_skip_device_grouped_matches_host(setup, group):
+    """Grouped (vmapped) skip decode == host oracle == ungrouped."""
+    codec, clm, scorer, c2l, l2c = setup
+    BM, K = 4, 6
+    cfg = BeamSearchConfig(beam_size=BM, search_depth=K, lm_panelty=0.7,
+                           len_bonus=1.5, use_lm_pred=True,
+                           use_lm_score=True, skip_search=True,
+                           prune_log_prob=PRUNE)
+    host = BeamSearchDecoder(codec, JaxLMBackend(scorer), cfg)
+
+    fn = make_lm_beam_search(
+        clm, c2l, l2c, beam_size=BM, depth=K, unknown_id=codec.unknown_id,
+        lm_panelty=0.7, len_bonus=1.5, lm_ctx=64, use_lm_pred=True,
+        skip_search=True, prune=PRUNE, group_size=group)
+
+    logits_tbd = _peaky_preds(T=16, B=4, seed=7)
+    logp_tbd = log_softmax(logits_tbd, axis=2)
+    want = host.decode(logp_tbd, already_log=True)
+
+    logits_btd = jnp.asarray(logits_tbd.transpose(1, 0, 2))
+    cv, ci, blank_lp, n_above = topk_logsoftmax_xla(logits_btd, k=K,
+                                                    prune=PRUNE)
+    logz = jax.scipy.special.logsumexp(
+        logits_btd.astype(jnp.float32), axis=-1)
+    prefixes, lengths = fn(cv, ci, logits_btd, logz, blank_lp, n_above)
+    got = codec.compact_to_texts(prefixes, lengths)
+    assert got == want, group
+
+
+def test_skip_device_kept_budget_exact_when_sufficient(setup):
+    """A budget >= the true kept-frame count gives identical output."""
+    from handwritten_chinese_ocr_samples_tpu.decode.beam_lm_device import (
+        count_kept_frames,
+    )
+    codec, clm, scorer, c2l, l2c = setup
+    BM, K = 4, 6
+    logits_tbd = _peaky_preds(T=24, B=2, seed=11)
+    logits_btd = jnp.asarray(logits_tbd.transpose(1, 0, 2))
+    cv, ci, blank_lp, n_above = topk_logsoftmax_xla(logits_btd, k=K,
+                                                    prune=PRUNE)
+    logz = jax.scipy.special.logsumexp(
+        logits_btd.astype(jnp.float32), axis=-1)
+
+    kept = count_kept_frames(ci, n_above, unknown_id=codec.unknown_id)
+    budget = int(kept.max())
+    assert 0 < budget < 24   # compaction actually drops frames here
+
+    outs = []
+    for kb in (None, budget):
+        fn = make_lm_beam_search(
+            clm, c2l, l2c, beam_size=BM, depth=K,
+            unknown_id=codec.unknown_id, lm_panelty=0.7, len_bonus=1.5,
+            lm_ctx=64, use_lm_pred=True, skip_search=True, prune=PRUNE,
+            kept_budget=kb)
+        prefixes, lengths = fn(cv, ci, logits_btd, logz, blank_lp, n_above)
+        outs.append(codec.compact_to_texts(prefixes, lengths))
+    assert outs[0] == outs[1]
+
+
 def test_skip_host_sanity_survivor_counts(setup):
     """The synthetic generator really produces single-survivor frames."""
     logits = _peaky_preds(T=32, B=1, seed=3)
