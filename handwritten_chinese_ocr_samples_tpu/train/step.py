@@ -166,6 +166,72 @@ def make_train_step(use_width_mask: bool = False, donate: bool = True):
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
+def make_classify_train_step(donate: bool = True):
+    """Jitted train step for ``pred='Classification'`` models (the
+    ``innovation`` isolated-character classifier, reference
+    `innovation.py:235-237,252-283`): softmax cross-entropy on the
+    ``(B, num_classes)`` head instead of CTC, same clip-5.0 +
+    non-finite-skip + optimizer machinery as the CTC step."""
+
+    def train_step(state: TrainState, batch: dict, dropout_rng: jax.Array):
+        images = batch["images"]
+        labels = batch["labels"]                       # (B,) int32 class ids
+        rng = jax.random.fold_in(dropout_rng, state.step)
+
+        def loss_fn(params):
+            logits, updates = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                images, train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )
+            loss = jnp.mean(
+                optax.softmax_cross_entropy_with_integer_labels(
+                    logits.astype(jnp.float32), labels))
+            acc = jnp.mean((jnp.argmax(logits, axis=-1) == labels)
+                           .astype(jnp.float32))
+            return loss, (updates["batch_stats"], acc)
+
+        (loss, (new_batch_stats, acc)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+
+        grad_norm = optax.global_norm(grads)
+        finite = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+
+        updates, new_opt_state = state.tx.update(
+            grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        def keep_if_finite(new, old):
+            return jax.tree.map(
+                lambda n, o: jnp.where(finite, n, o), new, old)
+
+        state = state.replace(
+            step=state.step + 1,
+            params=keep_if_finite(new_params, state.params),
+            batch_stats=keep_if_finite(new_batch_stats, state.batch_stats),
+            opt_state=keep_if_finite(new_opt_state, state.opt_state),
+        )
+        metrics = {"loss": loss, "grad_norm": grad_norm, "acc": acc,
+                   "skipped": (~finite).astype(jnp.float32)}
+        return state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_classify_eval_step(model):
+    """Jitted eval for classification models: forward -> argmax class ids."""
+
+    @jax.jit
+    def eval_step(params, batch_stats, images):
+        logits = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images, train=False)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    return eval_step
+
+
 def make_eval_step(model, unknown_id: int, use_width_mask: bool = False):
     """Jitted eval: forward + on-device greedy collapse -> compact indices."""
     from ..ops.decode import greedy_decode_device

@@ -28,8 +28,9 @@ from ..data.loader import DataLoader
 from ..eval.metrics import AverageMeter, cer_counts
 from ..parallel.mesh import batch_sharding, make_mesh
 from .checkpoint import load_checkpoint, save_checkpoint, wait_for_checkpoint
-from .step import (adjust_learning_rate, create_train_state, make_eval_step,
-                   make_train_step, shard_train_state)
+from .step import (adjust_learning_rate, create_train_state,
+                   make_classify_eval_step, make_classify_train_step,
+                   make_eval_step, make_train_step, shard_train_state)
 
 
 @dataclass
@@ -72,23 +73,36 @@ class Trainer:
                               devices=jax.devices()[:n_dev])
         self.batch_sharding = batch_sharding(self.mesh)
 
+        # Prediction mode travels as a model attribute (reference pattern:
+        # `handwritten_ctr_model.py:162` pred='CTC',
+        # `innovation.py:236` pred='Classification').
+        self.pred_mode = getattr(model, "pred", "CTC")
+        if self.pred_mode not in ("CTC", "Classification"):
+            raise ValueError(f"not expected pred mode: {self.pred_mode}")
+        is_classify = self.pred_mode == "Classification"
+
         seed = cfg.seed if cfg.seed is not None else 0
         self.rng = jax.random.key(seed)
         # Dropout draws ~10^8 bits/step across the trunk's dropout stack;
         # the rbg PRNG generates them ~16% faster per train step than
         # threefry on TPU (init keys stay threefry for reproducibility).
         self.dropout_rng = jax.random.key(seed + 1, impl="rbg")
+        init_w = model.img_height if is_classify else 256
         self.state = create_train_state(
             model, self.rng,
-            input_shape=(cfg.batch_size, model.img_height, 256, 1),
+            input_shape=(cfg.batch_size, model.img_height, init_w, 1),
             lr=cfg.lr, momentum=cfg.momentum, weight_decay=cfg.weight_decay)
         if n_dev > 1:
             self.state = shard_train_state(self.state, self.mesh)
 
-        self.train_step = make_train_step(use_width_mask=cfg.use_width_mask,
-                                          donate=True)
-        self.eval_step = make_eval_step(model, self.codec.unknown_id,
-                                        use_width_mask=cfg.use_width_mask)
+        if is_classify:
+            self.train_step = make_classify_train_step(donate=True)
+            self.eval_step = make_classify_eval_step(model)
+        else:
+            self.train_step = make_train_step(
+                use_width_mask=cfg.use_width_mask, donate=True)
+            self.eval_step = make_eval_step(model, self.codec.unknown_id,
+                                            use_width_mask=cfg.use_width_mask)
 
         self.start_epoch = cfg.start_epoch
         if cfg.resume:
@@ -102,11 +116,19 @@ class Trainer:
         cfg = self.cfg
         dataset = ImageDataset(cfg.data, (1, self.model.img_height), phase,
                                batch_size=cfg.batch_size)
-        collate = AlignCollate(
-            imgH=self.model.img_height, PAD=self.model.pad_mode,
-            max_width=cfg.max_width,
-            bucket_spec=BucketSpec(tuple(range(
-                cfg.bucket_step, cfg.max_width + 1, cfg.bucket_step))))
+        if self.pred_mode == "Classification":
+            # Isolated-character squares (GNT layout, `gnt2png.py:46-60`):
+            # one fixed (H, H) shape, so a single executable serves every
+            # batch.
+            h = self.model.img_height
+            collate = AlignCollate(imgH=h, PAD=self.model.pad_mode,
+                                   max_width=h, bucket_spec=BucketSpec((h,)))
+        else:
+            collate = AlignCollate(
+                imgH=self.model.img_height, PAD=self.model.pad_mode,
+                max_width=cfg.max_width,
+                bucket_spec=BucketSpec(tuple(range(
+                    cfg.bucket_step, cfg.max_width + 1, cfg.bucket_step))))
         return DataLoader(
             dataset, cfg.batch_size, collate, shuffle=shuffle,
             seed=cfg.seed or 0, group_by_width=shuffle,
@@ -114,16 +136,30 @@ class Trainer:
             shard_id=jax.process_index(), num_shards=jax.process_count())
 
     def _device_batch(self, batch: dict) -> dict:
-        labels, label_paddings = self.codec.encode_padded(
-            batch["labels"], max_len=self.cfg.max_label_len)
-        out = {
-            "images": batch["images"],
-            "labels": labels,
-            "label_paddings": label_paddings,
-            "widths": batch["widths"],
-        }
+        if self.pred_mode == "Classification":
+            out = {
+                "images": batch["images"],
+                "labels": self._class_ids(batch["labels"]),
+            }
+        else:
+            labels, label_paddings = self.codec.encode_padded(
+                batch["labels"], max_len=self.cfg.max_label_len)
+            out = {
+                "images": batch["images"],
+                "labels": labels,
+                "label_paddings": label_paddings,
+                "widths": batch["widths"],
+            }
         return {k: jax.device_put(jnp.asarray(v), self.batch_sharding)
                 for k, v in out.items()}
+
+    def _class_ids(self, labels) -> "jnp.ndarray":
+        """Single-character ground truth -> class ids (same class space as
+        the codec: chars at 1..N, unknown last)."""
+        import numpy as np
+        return np.array(
+            [self.codec.dict.get(s[:1], self.codec.unknown_id)
+             for s in labels], dtype=np.int32)
 
     def _device_iter(self, loader: DataLoader):
         """Iterate device-resident batches with the next batch's label
@@ -179,7 +215,7 @@ class Trainer:
         end = time.time()
         for i, dev_batch in enumerate(self._device_iter(loader)):
             data_time.update(time.time() - end)
-            n_items = int(dev_batch["widths"].shape[0])
+            n_items = int(dev_batch["images"].shape[0])
             self.state, metrics = self.train_step(
                 self.state, dev_batch, dropout_rng)
             if (i + 1) % cfg.print_freq == 0:
@@ -202,8 +238,25 @@ class Trainer:
 
     # ---------------------------------------------------------------- eval
     def evaluate(self, phase: str = "test") -> float:
-        """CER-based accuracy = 1 - CER (`main.py:516-537`)."""
+        """CTC: CER-based accuracy = 1 - CER (`main.py:516-537`).
+        Classification: top-1 accuracy over single-character labels."""
         loader = self._loader(phase, shuffle=False)
+        if self.pred_mode == "Classification":
+            correct, total = 0, 0
+            for batch in loader:
+                images = jax.device_put(jnp.asarray(batch["images"]),
+                                        self.batch_sharding)
+                pred = self.eval_step(self.state.params,
+                                      self.state.batch_stats, images)
+                truth = self._class_ids(batch["labels"])
+                pred = jnp.asarray(pred)
+                correct += int((jnp.asarray(truth) == pred).sum())
+                total += len(truth)
+                if self.cfg.test_verbose:
+                    for p, g in zip(pred, batch["labels"]):
+                        c = self.codec.characters[int(p)]
+                        print(f"PRE: {c}\nTRU: {g}")
+            return correct / max(total, 1)
         dist_sum, len_sum = 0, 0
         for batch in loader:
             images = jax.device_put(jnp.asarray(batch["images"]),
