@@ -72,9 +72,32 @@ def main():
     codec = CTCCodec(characters)
     variables = load_recognizer_variables(args.model)
 
+    # LM backend wiring mirrors `deploy.py:76-87` / `ctc_codec.py:101-122`.
+    lm = None
+    if args.method == "beam-search":
+        if args.use_tfm_pred or args.use_tfm_score:
+            from ..decode.lm_interface import JaxLMBackend
+            from ..lm.infer import LMScorer
+            from ..lm.io import load_lm
+            lm_model, lm_vars, tokenizer = load_lm(args.tfm_path)
+            lm = JaxLMBackend(LMScorer(lm_model, lm_vars, tokenizer))
+            lm.lm_model, lm.lm_params, lm.tokenizer = (
+                lm_model, lm_vars["params"], tokenizer)
+        elif args.kenlm_path:
+            from ..decode.lm_interface import KenLMBackend
+            lm = KenLMBackend(args.kenlm_path)
+
     widths = tuple(int(w) for w in args.widths.split(","))
-    log.info(f"Compiling serving executables for widths {widths}...")
-    engine = ServingEngine(model, variables, codec, widths=widths)
+    log.info(f"Compiling serving executables for widths {widths} "
+             f"({args.method})...")
+    engine = ServingEngine(
+        model, variables, codec, widths=widths,
+        decode_method=args.method,
+        beam_size=args.beam_size, search_depth=args.search_depth,
+        lm_panelty=args.lm_panelty, len_bonus=args.len_bonus,
+        lm=lm, use_lm_pred=args.use_tfm_pred,
+        use_lm_score=args.use_tfm_score or bool(args.kenlm_path),
+        skip_search=args.skip_search)
 
     if os.path.isfile(args.input):
         files = [args.input]

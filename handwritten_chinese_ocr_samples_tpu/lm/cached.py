@@ -35,16 +35,25 @@ class LMCache(NamedTuple):
 
 
 class CachedLM:
-    """Single-token step + suffix peek over a CharTransformerLM param tree."""
+    """Single-token step + suffix peek over a CharTransformerLM param tree.
 
-    def __init__(self, model, params):
+    ``dtype`` overrides the compute/cache dtype (pass ``jnp.bfloat16`` for
+    ~2x matmul throughput + half the KV-cache HBM on TPU; the
+    precision-critical spots — LayerNorm statistics, attention score
+    accumulation/softmax, final logits — always run in f32)."""
+
+    def __init__(self, model, params, dtype=None):
         self.model = model
-        self.p = params
         self.n_layers = model.n_layers
         self.n_heads = model.n_heads
         self.d_model = model.d_model
         self.d_head = model.d_model // model.n_heads
-        self.dtype = model.dtype
+        self.dtype = dtype if dtype is not None else model.dtype
+        if self.dtype != jnp.float32:
+            params = jax.tree.map(
+                lambda a: a.astype(self.dtype)
+                if a.dtype == jnp.float32 else a, params)
+        self.p = params
 
     # ------------------------------------------------------------ plumbing
     def init_cache(self, B: int, max_len: int) -> LMCache:
@@ -63,10 +72,13 @@ class CachedLM:
 
     # ------------------------------------------------------------- layers
     def _ln(self, x, p):
-        mu = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.var(x, axis=-1, keepdims=True)
-        y = (x - mu) * jax.lax.rsqrt(var + 1e-6)
-        return y * p["scale"] + p["bias"]
+        x32 = x.astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.var(x32, axis=-1, keepdims=True)
+        y = (x32 - mu) * jax.lax.rsqrt(var + 1e-6)
+        y = (y * p["scale"].astype(jnp.float32)
+             + p["bias"].astype(jnp.float32))
+        return y.astype(x.dtype)
 
     def _proj(self, x, p):  # flax DenseGeneral (..., d_model) -> (..., H, Dh)
         return jnp.einsum("...d,dhk->...hk", x, p["kernel"]) + p["bias"]
@@ -82,7 +94,8 @@ class CachedLM:
 
     def _logits(self, x):
         x = self._ln(x, self.p["ln_f"])
-        return (x @ self.p["embed"]["embedding"].T).astype(jnp.float32)
+        return jnp.einsum("...d,vd->...v", x, self.p["embed"]["embedding"],
+                          preferred_element_type=jnp.float32)
 
     def _block(self, li, x, k_ctx, v_ctx, ctx_mask):
         """One transformer block for a single query token per batch element.
@@ -94,10 +107,11 @@ class CachedLM:
         lp = self.p[f"layer{li}"]
         h = self._ln(x, lp["ln1"])
         q = self._proj(h, lp["attn"]["query"])            # (B, H, Dh)
-        scores = jnp.einsum("bhk,blhk->bhl", q, k_ctx)
-        scores = scores / jnp.asarray(np.sqrt(self.d_head), scores.dtype)
+        scores = jnp.einsum("bhk,blhk->bhl", q, k_ctx,
+                            preferred_element_type=jnp.float32)
+        scores = scores / np.sqrt(self.d_head)
         scores = jnp.where(ctx_mask[:, None, :], scores, NEG)
-        w = jax.nn.softmax(scores, axis=-1)
+        w = jax.nn.softmax(scores, axis=-1).astype(v_ctx.dtype)
         o = jnp.einsum("bhl,blhk->bhk", w, v_ctx)
         x = x + self._attn_out(o, lp["attn"]["out"])
 

@@ -50,39 +50,133 @@ def preprocess_fixed_shape(image_file: str, height: int,
 
 
 class ServingEngine:
-    """AOT-compiled greedy-OCR server over fixed width buckets."""
+    """AOT-compiled OCR server over fixed width buckets.
+
+    Decode methods mirror the reference serving loop (`deploy.py:76-118`),
+    which wires full CBS + LM into deployment:
+
+      * ``greedy-search`` — fused normalize -> forward -> greedy collapse,
+        one AOT executable per bucket;
+      * ``beam-search`` (no LM score) — fused normalize -> forward ->
+        Pallas top-K -> device prefix beam search, one AOT executable per
+        bucket;
+      * ``beam-search`` + JAX LM (``use_lm_score``) — AOT prep executable
+        (forward + top-K + logz) per bucket feeding the KV-cached LM-fused
+        device search (two dispatches; see ``eval.driver`` for why the LM
+        search is not nested in the prep jit);
+      * ``beam-search`` + ``skip_search`` without an LM, or + a host LM
+        (KenLM n-gram) — host prefix decoder over device logits (matches
+        ``eval.driver`` routing).
+    """
 
     def __init__(self, model, variables, codec,
                  widths: Sequence[int] = (512, 1024, 1600),
                  batch_sizes: Sequence[int] = (1,),
-                 bf16: bool = True):
+                 bf16: bool = True,
+                 decode_method: str = "greedy-search",
+                 beam_size: int = 10,
+                 search_depth: int = 10,
+                 lm_panelty: float = 1.9,
+                 len_bonus: float = 5.7,
+                 lm=None,
+                 use_lm_pred: bool = False,
+                 use_lm_score: bool = False,
+                 skip_search: bool = False,
+                 lm_ctx: int = 300,
+                 lm_group: int = 1,
+                 kept_budget: int | None = None):
         import jax
         import jax.numpy as jnp
-        from ..ops.decode import greedy_decode_device
 
         self.model = model
         self.variables = variables
         self.codec = codec
         self.widths = sorted(widths)
+        self.decode_method = decode_method
         self._compiled: Dict[Tuple[int, int], object] = {}
+        self._lm_fns: Dict[int, object] = {}
         self._jax = jax
+        self._host_beam = None
 
         unknown_id = codec.unknown_id
+        use_beam = decode_method == "beam-search"
+        is_jax_lm = lm is not None and hasattr(lm, "lm_model")
+        self._device_lm_beam = use_beam and use_lm_score and is_jax_lm
+        self._host_beam_mode = (use_beam and not self._device_lm_beam
+                                and (skip_search or use_lm_score))
+        self._device_beam = (use_beam and not self._device_lm_beam
+                             and not self._host_beam_mode)
 
-        def infer(variables, x_u8):
+        def normalize(x_u8):
             x = x_u8.astype(jnp.float32)
-            x = (x - 127.5) / 127.5  # `deploy.py:167`
-            logits = model.apply(variables, x, train=False)
-            return greedy_decode_device(logits, None, unknown_id=unknown_id)
+            return (x - 127.5) / 127.5  # `deploy.py:167`
+
+        if self._device_lm_beam:
+            from ..decode.beam_lm_device import (make_id_tables,
+                                                 make_lm_beam_search)
+            from ..lm.cached import CachedLM
+            from ..ops.topk_logsoftmax import topk_logsoftmax
+            clm = CachedLM(lm.lm_model, lm.lm_params)
+            c2l, l2c = make_id_tables(codec, lm.tokenizer)
+            self._skip = bool(skip_search)
+            self._lm_run = make_lm_beam_search(
+                clm, c2l, l2c, beam_size=beam_size, depth=search_depth,
+                unknown_id=unknown_id, lm_panelty=lm_panelty,
+                len_bonus=len_bonus,
+                lm_ctx=min(lm.lm_model.max_len, lm_ctx),
+                use_lm_pred=use_lm_pred, skip_search=self._skip,
+                kept_budget=kept_budget, group_size=lm_group)
+
+            def infer(variables, x_u8):
+                logits = model.apply(variables, normalize(x_u8),
+                                     train=False)
+                cv, ci, blank_lp, n_above = topk_logsoftmax(
+                    logits, k=search_depth)
+                logz = jax.scipy.special.logsumexp(
+                    logits.astype(jnp.float32), axis=-1)
+                return cv, ci, logits, logz, blank_lp, n_above
+        elif self._device_beam:
+            from ..decode.beam_device import beam_search_fused
+
+            def infer(variables, x_u8):
+                logits = model.apply(variables, normalize(x_u8),
+                                     train=False)
+                return beam_search_fused(
+                    logits, beam_size=beam_size, depth=search_depth,
+                    unknown_id=unknown_id, len_bonus=len_bonus)
+        elif self._host_beam_mode:
+            from ..decode.beam_host import (BeamSearchConfig,
+                                            BeamSearchDecoder)
+            from ..decode.lm_interface import NullLM
+            cfg = BeamSearchConfig(
+                beam_size=beam_size, search_depth=search_depth,
+                lm_panelty=lm_panelty, len_bonus=len_bonus,
+                use_lm_pred=use_lm_pred and lm is not None,
+                use_lm_score=use_lm_score and lm is not None,
+                skip_search=skip_search)
+            self._host_beam = BeamSearchDecoder(codec, lm or NullLM(), cfg)
+
+            def infer(variables, x_u8):
+                logits = model.apply(variables, normalize(x_u8),
+                                     train=False)
+                return jax.nn.log_softmax(
+                    logits.astype(jnp.float32), axis=-1)
+        else:
+            from ..ops.decode import greedy_decode_device
+
+            def infer(variables, x_u8):
+                logits = model.apply(variables, normalize(x_u8),
+                                     train=False)
+                return greedy_decode_device(logits, None,
+                                            unknown_id=unknown_id)
 
         self._infer = infer
         h = model.img_height
+        var_shapes = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), variables)
         for b in batch_sizes:
             for w in self.widths:
                 shape = jax.ShapeDtypeStruct((b, h, w, 1), jnp.uint8)
-                var_shapes = jax.tree.map(
-                    lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
-                    variables)
                 self._compiled[(b, w)] = (
                     jax.jit(infer).lower(var_shapes, shape).compile())
 
@@ -92,11 +186,25 @@ class ServingEngine:
                 return w
         return self.widths[-1]
 
+    def _decode_outputs(self, outputs) -> List[str]:
+        """Executable outputs -> texts, per decode routing."""
+        if self._device_lm_beam:
+            if self._skip:
+                prefixes, lengths = self._lm_run(*outputs)
+            else:
+                prefixes, lengths = self._lm_run(*outputs[:4])
+            return self.codec.compact_to_texts(prefixes, lengths)
+        if self._host_beam is not None:
+            logp = np.asarray(outputs)            # (B, T, D)
+            return self._host_beam.decode(logp.transpose(1, 0, 2),
+                                          already_log=True)
+        chars, lengths = outputs
+        return self.codec.compact_to_texts(chars, lengths)
+
     def infer_files(self, image_files: Sequence[str],
                     iterations: int = 1) -> Tuple[List[str], float]:
         """Serve images one by one (the reference's deploy loop,
         `deploy.py:109-125`); returns (texts, avg latency ms)."""
-        jax = self._jax
         import jax.numpy as jnp
 
         texts: List[str] = []
@@ -115,8 +223,8 @@ class ServingEngine:
             exe = self._compiled.get((1, w))
             for _ in range(iterations):
                 t0 = time.time()
-                chars, lengths = exe(self.variables, jnp.asarray(x))
-                text = self.codec.compact_to_texts(chars, lengths)[0]
+                outputs = exe(self.variables, jnp.asarray(x))
+                text = self._decode_outputs(outputs)[0]
                 times.append((time.time() - t0) * 1000)
             texts.append(text)
         return texts, float(np.mean(times)) if times else 0.0

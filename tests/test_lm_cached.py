@@ -100,3 +100,25 @@ def test_peek_matches_full_scoring(lm):
 
     # cache unchanged
     assert cache.lengths.tolist() == [Lp, Lp]
+
+
+def test_bf16_step_close_to_f32(lm):
+    """bf16 compute dtype: same argmax trajectory, logits close to f32
+    (LN / attention-score / logits paths stay f32 internally)."""
+    model, params = lm
+    f32 = CachedLM(model, params)
+    b16 = CachedLM(model, params, dtype=jnp.bfloat16)
+    assert b16.dtype == jnp.bfloat16
+    rng = np.random.default_rng(3)
+    B, L = 2, 6
+    tokens = jnp.asarray(rng.integers(0, V, (B, L)).astype(np.int32))
+    c32, c16 = f32.init_cache(B, 16), b16.init_cache(B, 16)
+    assert c16.k.dtype == jnp.bfloat16
+    for t in range(L):
+        lo32, c32 = f32.step(c32, tokens[:, t])
+        lo16, c16 = b16.step(c16, tokens[:, t])
+        assert lo16.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(lo16), np.asarray(lo32),
+                                   atol=0.15, rtol=0.05)
+        np.testing.assert_array_equal(
+            np.argmax(np.asarray(lo16), -1), np.argmax(np.asarray(lo32), -1))

@@ -1,0 +1,154 @@
+"""Benchmark: LM-fused device beam search at production scale.
+
+BASELINE config #5 (beam search + transformer LM, batch 32, w1200): the
+reference's dominant inference bottleneck — a per-(sample, timestep) Python
+loop with synchronous LM calls (`ctc_codec.py:183-285`, SURVEY.md §3.3).
+
+Posteriors are synthesized at trained-model statistics (peaky: ~90% of
+frames have a single class above the skip-search prune threshold; ~40-60
+characters per 1200-frame line), which is the regime the reference's
+skip-search was built for (`ctc_codec.py:124-181`).
+
+Usage: python tools/bench_lm_beam.py [--group 8] [--budget 192]
+       [--dtype bfloat16] [--batch 32] [--width 1200] [--iters 3]
+       [--no-skip] [--lm-ctx 256]
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+NUM_CLASSES = 7375
+
+
+def synth_peaky_logits(B, T, D, seed=0, chars_per_1200=50,
+                       ambiguous_frac=0.04):
+    """Trained-model-like posteriors: confident everywhere (blank between
+    emissions, 1-2 confident frames per character) except an explicit
+    fraction of 2-way-ambiguous frames — the regime the reference's
+    skip-search exploits (`ctc_codec.py:124-181`)."""
+    rng = np.random.default_rng(seed)
+    logits = rng.normal(size=(B, T, D)).astype(np.float32) * 0.3
+    n_char_mean = max(4, chars_per_1200 * T // 1200)
+    for b in range(B):
+        boost = np.zeros(T, np.int64)            # class boosted per frame
+        n_char = int(rng.integers(n_char_mean * 4 // 5, n_char_mean * 6 // 5))
+        pos = np.sort(rng.choice(np.arange(2, T - 4, 3), n_char,
+                                 replace=False) +
+                      rng.integers(0, 2, n_char))
+        for t in pos:
+            c = int(rng.integers(1, D - 1))
+            for dt in range(int(rng.integers(1, 3))):
+                boost[t + dt] = c
+        for t in range(T):
+            logits[b, t, boost[t]] += 14.0       # blank (0) or the char
+        # ambiguous frames: two classes share the mass
+        amb_ts = rng.choice(np.where(boost == 0)[0],
+                            int(T * ambiguous_frac), replace=False)
+        for t in amb_ts:
+            ids = rng.choice(np.arange(D - 1), 2, replace=False)
+            logits[b, t, 0] -= 14.0
+            logits[b, t, ids] += 12.0
+    return logits
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--width", type=int, default=1200)
+    ap.add_argument("--group", type=int, default=8)
+    ap.add_argument("--budget", type=int, default=192)
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--lm-ctx", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--no-skip", action="store_true")
+    ap.add_argument("--beam", type=int, default=10)
+    ap.add_argument("--depth", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from handwritten_chinese_ocr_samples_tpu.core.codec import CTCCodec
+    from handwritten_chinese_ocr_samples_tpu.decode.beam_lm_device import (
+        count_kept_frames, make_id_tables, make_lm_beam_search)
+    from handwritten_chinese_ocr_samples_tpu.lm.cached import CachedLM
+    from handwritten_chinese_ocr_samples_tpu.lm.model import CharTransformerLM
+    from handwritten_chinese_ocr_samples_tpu.lm.tokenizer import Tokenizer
+    from handwritten_chinese_ocr_samples_tpu.ops.topk_logsoftmax import (
+        topk_logsoftmax)
+
+    B, T, D = args.batch, args.width, NUM_CLASSES
+    chars = "".join(chr(0x4E00 + i) for i in range(D - 2))
+    codec = CTCCodec(chars)
+    tokenizer = Tokenizer.from_characters(chars)
+
+    model = CharTransformerLM(vocab_size=tokenizer.vocab_size)
+    lm_params = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.key(0)},
+        jnp.zeros((1, 8), jnp.int32), train=False)["params"]
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    clm = CachedLM(model, lm_params, dtype=dtype)
+    c2l, l2c = make_id_tables(codec, tokenizer)
+
+    skip = not args.no_skip
+    fn = make_lm_beam_search(
+        clm, c2l, l2c, beam_size=args.beam, depth=args.depth,
+        unknown_id=codec.unknown_id, lm_panelty=0.8, len_bonus=4.8,
+        lm_ctx=args.lm_ctx, use_lm_pred=True, skip_search=skip,
+        kept_budget=args.budget if skip else None,
+        group_size=args.group if skip else 1)
+
+    print(f"synthesizing logits ({B}x{T}x{D})...", flush=True)
+    logits_np = synth_peaky_logits(B, T, D)
+    dev = jax.devices()[0]
+    logits = jax.device_put(jnp.asarray(logits_np), dev)
+
+    @jax.jit
+    def prep(logits):
+        cv, ci, blank_lp, n_above = topk_logsoftmax(logits, k=args.depth)
+        logz = jax.scipy.special.logsumexp(
+            logits.astype(jnp.float32), axis=-1)
+        return cv, ci, logz, blank_lp, n_above
+
+    cv, ci, logz, blank_lp, n_above = prep(logits)
+    kept = count_kept_frames(np.asarray(ci), np.asarray(n_above),
+                             unknown_id=codec.unknown_id)
+    print(f"kept frames/line: min {kept.min()} mean {kept.mean():.0f} "
+          f"max {kept.max()} (budget {args.budget})", flush=True)
+    if skip and kept.max() > args.budget:
+        print("WARNING: kept-frame budget overflow — results truncated")
+
+    def run_once():
+        if skip:
+            prefixes, lengths = fn(cv, ci, logits, logz, blank_lp, n_above)
+        else:
+            prefixes, lengths = fn(cv, ci, logits, logz)
+        return np.asarray(prefixes), np.asarray(lengths)
+
+    print("compiling...", flush=True)
+    t0 = time.perf_counter()
+    p, l = run_once()
+    print(f"first run (incl. compile): {time.perf_counter() - t0:.1f}s",
+          flush=True)
+
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        p, l = run_once()
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    texts = codec.compact_to_texts(p, l)
+    print(f"decoded lens: {[len(t) for t in texts[:8]]}...")
+    print(f"config: skip={skip} group={args.group} budget={args.budget} "
+          f"dtype={args.dtype} lm_ctx={args.lm_ctx}")
+    print(f"lines/sec/chip: {B / dt:.2f}  ({dt / B * 1000:.0f} ms/line, "
+          f"batch {B} in {dt:.2f}s)")
+
+
+if __name__ == "__main__":
+    main()
