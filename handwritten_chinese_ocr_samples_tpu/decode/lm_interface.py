@@ -39,14 +39,22 @@ class NullLM:
 
 
 class KenLMBackend:
-    """KenLM n-gram scoring, space-joined characters, no EOS.
+    """N-gram scoring, space-joined characters, no EOS.
 
     Matches the reference's n-gram path (`ctc_codec.py:120-122,276-281`).
+    Uses the kenlm C++ binding when installed; otherwise falls back to the
+    first-party ARPA reader (``lm/arpa.py``), which reproduces
+    ``kenlm.Model.score`` exactly (same Katz-backoff log10 math) for
+    ``.arpa``/text models. The binary ``.klm`` format requires kenlm.
     """
 
     def __init__(self, model_path: str):
-        import kenlm  # optional dependency, as in the reference
-        self.model = kenlm.Model(model_path)
+        try:
+            import kenlm  # optional dependency, as in the reference
+            self.model = kenlm.Model(model_path)
+        except ImportError:
+            from ..lm.arpa import ArpaLM
+            self.model = ArpaLM(model_path)
 
     def score_batch(self, texts: Sequence[str]) -> np.ndarray:
         out = np.zeros((len(texts),), dtype=np.float64)
