@@ -15,7 +15,7 @@ def build_argparser():
     args = parser.add_argument_group("Options")
     args.add_argument("-m", "--model-type", type=str, default="hctr",
                       choices=["hctr"], help="model tag")
-    args.add_argument("-f", "--model-file", type=str, required=True,
+    args.add_argument("-f", "--model-file", type=str, default="",
                       metavar="PATH", help="checkpoint (orbax or .pth.tar)")
     args.add_argument("-o", "--out-dir", type=str, default="exported",
                       help="output directory")
@@ -25,25 +25,49 @@ def build_argparser():
                       help="comma-separated export batch sizes")
     args.add_argument("-cl", "--chars-list", type=str, default=None,
                       help="chars_list.txt path")
+    # LM export (counterpart of `export_onnx.py:56-105`)
+    args.add_argument("-tp", "--tfm-path", dest="tfm_path", type=str,
+                      default="", help="char-LM dir to export alongside")
+    args.add_argument("--lm-lengths", type=str, default="32,64",
+                      help="comma-separated LM token-length buckets")
+    args.add_argument("--lm-batch-sizes", type=str, default="1,10",
+                      help="comma-separated LM batch buckets")
     return parser
 
 
 def main():
     args = build_argparser().parse_args()
+    if not args.model_file and not args.tfm_path:
+        raise SystemExit("nothing to export: pass -f and/or -tp")
     import jax.numpy as jnp
-    from ..eval.driver import load_recognizer_variables
-    from ..models.registry import get_model_info
-    from ..serve.export import export_model
 
-    model, characters = get_model_info(
-        args.model_type, chars_list_file=args.chars_list, dtype=jnp.bfloat16)
-    variables = load_recognizer_variables(args.model_file)
-    meta = export_model(
-        model, variables, args.out_dir, tag=args.model_type,
-        widths=tuple(int(w) for w in args.widths.split(",")),
-        batch_sizes=tuple(int(b) for b in args.batch_sizes.split(",")),
-        unknown_id=len(characters) + 1)
-    print(f"exported: {meta['artifacts']} -> {args.out_dir}")
+    if args.model_file:
+        from ..eval.driver import load_recognizer_variables
+        from ..models.registry import get_model_info
+        from ..serve.export import export_model
+
+        model, characters = get_model_info(
+            args.model_type, chars_list_file=args.chars_list,
+            dtype=jnp.bfloat16)
+        variables = load_recognizer_variables(args.model_file)
+        meta = export_model(
+            model, variables, args.out_dir, tag=args.model_type,
+            widths=tuple(int(w) for w in args.widths.split(",")),
+            batch_sizes=tuple(int(b) for b in args.batch_sizes.split(",")),
+            unknown_id=len(characters) + 1)
+        print(f"exported: {meta['artifacts']} -> {args.out_dir}")
+
+    if args.tfm_path:
+        from ..lm.io import load_lm
+        from ..serve.export import export_lm
+
+        lm_model, lm_vars, tokenizer = load_lm(args.tfm_path)
+        meta = export_lm(
+            lm_model, lm_vars, tokenizer, args.out_dir,
+            batch_sizes=tuple(
+                int(b) for b in args.lm_batch_sizes.split(",")),
+            lengths=tuple(int(x) for x in args.lm_lengths.split(",")))
+        print(f"exported LM: {meta['artifacts']} -> {args.out_dir}")
 
 
 if __name__ == "__main__":

@@ -87,3 +87,136 @@ def load_exported(path: str):
     with open(path, "rb") as f:
         exported = jexport.deserialize(f.read())
     return exported.call
+
+
+# ----------------------------------------------------------------- LM export
+def export_lm(model, variables, tokenizer, out_dir: str, tag: str = "lm",
+              batch_sizes: Sequence[int] = (1, 10),
+              lengths: Sequence[int] = (32, 64)) -> dict:
+    """Serialize the char LM decoder — the counterpart of the reference's
+    fairseq-LM ONNX export (`utils/export_onnx.py:56-105`, fixed ``(1, 64)``
+    token shapes for the OpenVINO path, `transformer_infer.py:81-169`).
+
+    One StableHLO artifact per (batch, length) bucket computes
+    ``tokens (B, L) -> logits (B, L, V)``; ``score``/``next_k_words`` are
+    thin gathers implemented by the loader (``ExportedLMScorer``).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+    import orbax.checkpoint as ocp
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def logits_fn(variables, tokens):
+        return model.apply(variables, tokens, train=False)
+
+    var_shapes = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), a.dtype), variables)
+    artifacts = []
+    for b in batch_sizes:
+        for L in lengths:
+            shape = jax.ShapeDtypeStruct((b, L), jnp.int32)
+            exported = jexport.export(jax.jit(logits_fn))(var_shapes, shape)
+            path = os.path.join(out_dir, f"{tag}_b{b}_l{L}.stablehlo")
+            with open(path, "wb") as f:
+                f.write(exported.serialize())
+            artifacts.append(os.path.basename(path))
+
+    tokenizer.save_dict(os.path.join(out_dir, f"{tag}_dict.txt"))
+    weights_dir = os.path.abspath(os.path.join(out_dir, f"{tag}_weights"))
+    if os.path.exists(weights_dir):
+        import shutil
+        shutil.rmtree(weights_dir)
+    ocp.PyTreeCheckpointer().save(weights_dir, variables)
+
+    meta = {
+        "tag": tag,
+        "vocab_size": model.vocab_size,
+        "max_len": model.max_len,
+        "batch_sizes": list(batch_sizes),
+        "lengths": list(lengths),
+        "artifacts": artifacts,
+        "weights": f"{tag}_weights",
+        "dict": f"{tag}_dict.txt",
+        "output": "next-token logits (B, L, V); position t scores token t+1",
+    }
+    with open(os.path.join(out_dir, f"{tag}_meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    return meta
+
+
+class ExportedLMScorer:
+    """``score`` / ``next_k_words`` over a serialized LM bundle.
+
+    Mirrors ``TransformerOVIE`` (`transformer_infer.py:81-169`): fixed-shape
+    executables with batch padding — requests are padded up to the nearest
+    exported (batch, length) bucket. Output-equality with the live
+    ``LMScorer`` is tested in ``tests/test_export_serve.py``.
+    """
+
+    def __init__(self, lm_dir: str, tag: str = "lm"):
+        import jax.numpy as jnp
+        import orbax.checkpoint as ocp
+        from ..lm.tokenizer import Tokenizer
+
+        with open(os.path.join(lm_dir, f"{tag}_meta.json")) as f:
+            self.meta = json.load(f)
+        self.tokenizer = Tokenizer(os.path.join(lm_dir, self.meta["dict"]))
+        self.variables = ocp.PyTreeCheckpointer().restore(
+            os.path.abspath(os.path.join(lm_dir, self.meta["weights"])))
+        self._fns = {}
+        for b in self.meta["batch_sizes"]:
+            for L in self.meta["lengths"]:
+                path = os.path.join(lm_dir, f"{tag}_b{b}_l{L}.stablehlo")
+                self._fns[(b, L)] = load_exported(path)
+        self._jnp = jnp
+
+    def _bucket(self, n: int, need_len: int):
+        bs = [b for b in sorted(self.meta["batch_sizes"]) if b >= n]
+        ls = [L for L in sorted(self.meta["lengths"]) if L >= need_len]
+        b = bs[0] if bs else max(self.meta["batch_sizes"])
+        L = ls[0] if ls else max(self.meta["lengths"])
+        return b, L
+
+    def _logits(self, sentences, char_based):
+        jnp = self._jnp
+        need = max(len(s) for s in sentences) + 2
+        b, L = self._bucket(len(sentences), need)
+        out = []
+        for i in range(0, len(sentences), b):
+            chunk = sentences[i: i + b]
+            pad = b - len(chunk)
+            ids = self.tokenizer.tokenize(chunk + [""] * pad,
+                                          char_based=char_based,
+                                          fixed_len=L)
+            logits = np.asarray(
+                self._fns[(b, L)](self.variables, jnp.asarray(ids)))
+            out.append(logits[: len(chunk)])
+        return np.concatenate(out, axis=0)
+
+    def score(self, sentences, char_based: bool = False) -> np.ndarray:
+        if not sentences:
+            return np.zeros((0,))
+        from scipy.special import logsumexp
+        logits = self._logits(sentences, char_based)     # (B, L, V)
+        lse = logsumexp(logits, axis=-1)                 # (B, L)
+        out = np.zeros((len(sentences),))
+        for i, s in enumerate(sentences):
+            n = len(s)
+            toks = self.tokenizer.tokenize([s], char_based=char_based,
+                                           fixed_len=logits.shape[1])[0]
+            for t in range(n):
+                out[i] += logits[i, t, toks[t + 1]] - lse[i, t]
+        return out
+
+    def next_k_words(self, sentences, k: int, char_based: bool = False):
+        if not sentences:
+            return []
+        logits = self._logits(sentences, char_based)
+        res = []
+        for i, s in enumerate(sentences):
+            at = logits[i, len(s)]
+            idx = np.argsort(-at)[:k]
+            res.append(self.tokenizer.decode(idx))
+        return res
