@@ -181,8 +181,15 @@ class EvalSession:
 
 
 def run_single(args) -> None:
-    """Single image / ad-hoc folder mode (`test.py:163-201`)."""
-    from ..data.bucketing import normalize_pad_batch
+    """Single image / ad-hoc folder mode (`test.py:163-201`).
+
+    The pad width is rounded up to a serving bucket so a fresh compilation
+    cache pays at most one XLA compile per bucket — not one per distinct
+    image width (the reference pads to the dynamic batch max,
+    `test.py:174-186`, which is free under torch but a multi-minute
+    compile per width under XLA)."""
+    from ..data.bucketing import BucketSpec, default_buckets, \
+        normalize_pad_batch
     from ..data.dataset import read_resize_image
 
     session = EvalSession(args)
@@ -196,10 +203,13 @@ def run_single(args) -> None:
                  if f.lower().endswith((".png", ".jpg", ".jpeg", ".bmp"))]
     images = [read_resize_image(f, h) for f in files]
 
+    max_w = max(im.shape[1] for im in images)
+    spec = BucketSpec(default_buckets(
+        max(256, -(-max_w // 256) * 256), step=256))
     bs = args.batch_size
     for i in range(0, len(images), bs):
         chunk = images[i: i + bs]
-        maxW = max(im.shape[1] for im in chunk)
+        maxW = spec.bucket_for(max(im.shape[1] for im in chunk))
         batch, _ = normalize_pad_batch(chunk, maxW)
         texts, dt = session.decode_batch(batch)
         print(f"max_width: {maxW}, throughput: "

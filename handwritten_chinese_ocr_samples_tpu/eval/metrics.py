@@ -5,7 +5,7 @@ The reference computes CER with the ``editdistance`` C extension
 sum(len(truth))`` and ``acc = 1 - CER`` (`main.py:516-537`). The same
 Levenshtein distance is provided here by a first-party C++ extension
 (``native/editdistance.cc``, loaded via ctypes) with a numpy fallback —
-both return identical values (see ``tests/test_metrics.py``).
+both return identical values (see ``tests/test_native.py``).
 """
 
 from __future__ import annotations
