@@ -17,7 +17,7 @@ def build_argparser():
     parser = argparse.ArgumentParser(description="TPU OCR serving")
     args = parser.add_argument_group("Options")
     args.add_argument("-lang", "--language", type=str, default="hctr",
-                      choices=["hctr"], help="model language/scenario tag")
+                      choices=["hctr", "hctr-tiny"], help="model language/scenario tag")
     args.add_argument("-m", "--model", type=str, required=True, metavar="PATH",
                       help="checkpoint (orbax dir or .pth.tar)")
     args.add_argument("-i", "--input", type=str, required=True, metavar="PATH",

@@ -14,7 +14,7 @@ def build_argparser():
     parser = argparse.ArgumentParser(description="TPU OCR model export")
     args = parser.add_argument_group("Options")
     args.add_argument("-m", "--model-type", type=str, default="hctr",
-                      choices=["hctr"], help="model tag")
+                      choices=["hctr", "hctr-tiny"], help="model tag")
     args.add_argument("-f", "--model-file", type=str, default="",
                       metavar="PATH", help="checkpoint (orbax or .pth.tar)")
     args.add_argument("-o", "--out-dir", type=str, default="exported",

@@ -25,7 +25,7 @@ def build_argparser():
     parser = argparse.ArgumentParser(description="TPU OCR textline testing")
     args = parser.add_argument_group("Options")
     args.add_argument("-m", "--model-type", dest="model_type", type=str,
-                      required=True, choices=["hctr", "innovation"],
+                      required=True, choices=["hctr", "hctr-tiny", "innovation"],
                       help="target model for different languages/scenarios")
     args.add_argument("-f", "--model-file", dest="model_file", type=str,
                       metavar="PATH", required=True,

@@ -23,7 +23,7 @@ def build_argparser():
         description="TPU OCR textline training")
     args = parser.add_argument_group("Options")
     args.add_argument("-m", "--model-type", type=str, required=True,
-                      choices=["hctr", "innovation"],
+                      choices=["hctr", "hctr-tiny", "innovation"],
                       help="target model for different languages/scenarios")
     args.add_argument("-d", "--data", metavar="DIR", required=True,
                       help="path to dataset")

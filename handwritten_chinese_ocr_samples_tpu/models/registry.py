@@ -32,7 +32,17 @@ def list_models():
 def _register_builtin():
     from .hctr import hctr_model
     from .innovation import innovation_model
+
+    def hctr_tiny(num_classes: int, dtype=jnp.float32, **kw):
+        """Scaled-down hctr (64-ch trunk, [1,1,1,1] blocks, ~1.3M params):
+        same topology/attributes, used by the committed demo artifact and
+        fast CI (`tools/make_demo_artifact.py`)."""
+        from .hctr import HCTRModel
+        return HCTRModel(num_classes=num_classes, backbone_channels=64,
+                         num_blocks=(1, 1, 1, 1), dtype=dtype, **kw)
+
     _REGISTRY.setdefault("hctr", hctr_model)
+    _REGISTRY.setdefault("hctr-tiny", hctr_tiny)
     _REGISTRY.setdefault("innovation", innovation_model)
 
 
