@@ -71,8 +71,8 @@ class LMBeamState(NamedTuple):
 
 
 def _grouped_peek(clm: CachedLM, cache: LMCache, tokens: jnp.ndarray,
-                  n_tokens: jnp.ndarray, next_logp: jnp.ndarray
-                  ) -> jnp.ndarray:
+                  n_tokens: jnp.ndarray, next_logp: jnp.ndarray,
+                  *, full_kv: bool = False, want_last: bool = False):
     """Score token continuations grouped by parent beam.
 
     ``tokens (BM, R, S1)``: LM-token sequences continuing each parent's
@@ -86,16 +86,21 @@ def _grouped_peek(clm: CachedLM, cache: LMCache, tokens: jnp.ndarray,
     queries at position s attend the parent cache plus row tokens 0..s.
 
     Besides the summed scores (BM, R), returns the byproducts that make a
-    separate committed LM step unnecessary: each row's FIRST token's
-    per-layer k/v ``(layers, BM, R, H, Dh)`` (exactly what ``clm.step``
-    would write into the cache for that token) and the position-0
-    log-probs ``(BM, R, V)`` (the next-token distribution after
+    separate committed LM step unnecessary: per-layer k/v for each row's
+    FIRST token ``(layers, BM, R, H, Dh)`` (exactly what ``clm.step``
+    would write into the cache for that token) — or for ALL S1 positions
+    ``(layers, BM, R, S1, H, Dh)`` with ``full_kv=True`` — and the
+    position-0 log-probs ``(BM, R, V)`` (the next-token distribution after
     prefix+first-token — the extended beam's ``next_logp``).
+
+    ``want_last=True`` appends the log-probs at each row's LAST valid
+    position ``n_tokens-1`` (BM, R, V) — the next-token distribution after
+    the whole row, needed when committing a multi-token run.
     """
+    from ..ops.peek_attention import (merge_partials, peek_cache_attention,
+                                      peek_cache_attention_xla)
+
     BM, R, S1 = tokens.shape
-    Lmax = cache.k.shape[2]
-    pos_ids = jnp.arange(Lmax)[None, :]
-    cache_mask = pos_ids < cache.lengths[:, None]              # (BM, Lmax)
 
     total = jnp.where(
         n_tokens > 0,
@@ -107,7 +112,20 @@ def _grouped_peek(clm: CachedLM, cache: LMCache, tokens: jnp.ndarray,
     h = clm._embed_token(tokens, pos)                          # (BM, R, S1, d)
     s_ids = jnp.arange(S1)
     causal = s_ids[None, :] <= s_ids[:, None]  # key t visible to query s iff t<=s
-    scale = jnp.asarray(np.sqrt(clm.d_head), h.dtype)
+    scale = float(np.sqrt(clm.d_head))
+    # Cache-part attention via flash partials. Two equivalent backends:
+    # an XLA formulation (default) and a Pallas kernel that keeps the
+    # (BM, R, S1, H, Lmax) score tensor in VMEM. Measured on v5e at the
+    # production shape (G=8..32, ctx 256) the XLA path is FASTER (6.34 vs
+    # 5.59 lines/sec at G=8): the kernel's per-beam grid serializes 80-320
+    # small blocks while XLA batches the whole einsum; the kernel also
+    # correlates with a worker "kernel fault" at G=16 (NOTES.md). Opt in
+    # with HCTR_PEEK_PALLAS=1 (larger ctx/beam shapes may flip the verdict).
+    import os
+    use_pallas = (jax.default_backend() == "tpu"
+                  and bool(os.environ.get("HCTR_PEEK_PALLAS")))
+    cache_attn = (peek_cache_attention if use_pallas
+                  else peek_cache_attention_xla)
 
     k0s, v0s = [], []
     for li in range(clm.n_layers):
@@ -116,34 +134,63 @@ def _grouped_peek(clm: CachedLM, cache: LMCache, tokens: jnp.ndarray,
         q = clm._proj(hn, lp["attn"]["query"])             # (BM, R, S1, H, Dh)
         k = clm._proj(hn, lp["attn"]["key"])
         v = clm._proj(hn, lp["attn"]["value"])
-        k0s.append(k[:, :, 0])
-        v0s.append(v[:, :, 0])
-        # cache attention: every position sees the whole (valid) prefix
-        sc_cache = jnp.einsum("brshk,blhk->brshl", q, cache.k[li]) / scale
-        sc_cache = jnp.where(cache_mask[:, None, None, None, :], sc_cache,
-                             NEG_INF)
-        # own-row attention, causal
-        sc_own = jnp.einsum("brshk,brthk->brsht", q, k) / scale
+        k0s.append(k if full_kv else k[:, :, 0])
+        v0s.append(v if full_kv else v[:, :, 0])
+        qs = (q / scale).astype(q.dtype)
+        # cache part: every position sees the whole (valid) prefix
+        o1, m1, l1 = cache_attn(
+            qs.reshape(BM, R * S1, clm.n_heads, clm.d_head),
+            cache.k[li], cache.v[li], cache.lengths)
+        o1 = o1.reshape(BM, R, S1, clm.n_heads, clm.d_head)
+        m1 = m1.reshape(BM, R, S1, clm.n_heads)
+        l1 = l1.reshape(BM, R, S1, clm.n_heads)
+        # own-row causal part: S1 keys — a few KB, plain XLA
+        sc_own = jnp.einsum("brshk,brthk->brsht", qs, k,
+                            preferred_element_type=jnp.float32)
         sc_own = jnp.where(causal[None, None, :, None, :], sc_own, NEG_INF)
-        sc = jnp.concatenate([sc_cache, sc_own], axis=-1)
-        w = jax.nn.softmax(sc, axis=-1)
-        o = (jnp.einsum("brshl,blhk->brshk", w[..., :Lmax], cache.v[li])
-             + jnp.einsum("brsht,brthk->brshk", w[..., Lmax:], v))
-        h = h + clm._attn_out(o, lp["attn"]["out"])
+        m2 = jnp.max(sc_own, axis=-1)
+        p2 = jnp.where(causal[None, None, :, None, :],
+                       jnp.exp(sc_own - m2[..., None]), 0.0)
+        l2 = jnp.sum(p2, axis=-1)
+        o2 = jnp.einsum("brsht,brthk->brshk", p2.astype(v.dtype), v,
+                        preferred_element_type=jnp.float32)
+        o = merge_partials(o1, m1, l1, o2, m2, l2)
+        h = h + clm._attn_out(o.astype(h.dtype), lp["attn"]["out"])
         hn = clm._ln(h, lp["ln2"])
         hn = hn @ lp["ff1"]["kernel"] + lp["ff1"]["bias"]
         hn = jax.nn.relu(hn)
         hn = hn @ lp["ff2"]["kernel"] + lp["ff2"]["bias"]
         h = h + hn
 
-    logp = jax.nn.log_softmax(clm._logits(h), axis=-1)     # (BM, R, S1, V)
-    # position s's logits score token s+1
+    if want_last:
+        # run-commit mode (small R): full positional log-probs needed
+        logp = jax.nn.log_softmax(clm._logits(h), axis=-1)  # (BM,R,S1,V)
+        if S1 > 1:
+            contrib = jnp.take_along_axis(
+                logp[:, :, :-1], tokens[:, :, 1:, None], axis=-1)[..., 0]
+            s_valid = (jnp.arange(1, S1)[None, None, :]
+                       < n_tokens[:, :, None])
+            total = total + jnp.sum(jnp.where(s_valid, contrib, 0.0),
+                                    axis=-1)
+        last = jnp.take_along_axis(
+            logp, jnp.clip(n_tokens - 1, 0)[:, :, None, None], axis=2
+        )[:, :, 0]                                          # (BM, R, V)
+        return (total, logp[:, :, 0], jnp.stack(k0s), jnp.stack(v0s), last)
+
+    # peek mode: position S1-1's logits are never consumed (they would
+    # score token S1), and only position 0 needs a full log-softmax row —
+    # for s >= 1 the contribution is logit[token] - logsumexp(logits),
+    # which avoids materializing a second (BM, R, S1, V) f32 tensor.
+    logits = clm._logits(h[:, :, :-1] if S1 > 1 else h)  # (BM,R,S1-1,V)
+    logp0 = jax.nn.log_softmax(logits[:, :, 0], axis=-1)    # (BM, R, V)
     if S1 > 1:
-        contrib = jnp.take_along_axis(
-            logp[:, :, :-1], tokens[:, :, 1:, None], axis=-1)[..., 0]
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)  # (BM,R,S1-1)
+        tgt = jnp.take_along_axis(
+            logits, tokens[:, :, 1:, None], axis=-1)[..., 0]
+        contrib = tgt - lse
         s_valid = (jnp.arange(1, S1)[None, None, :] < n_tokens[:, :, None])
         total = total + jnp.sum(jnp.where(s_valid, contrib, 0.0), axis=-1)
-    return (total, logp[:, :, 0], jnp.stack(k0s), jnp.stack(v0s))
+    return (total, logp0, jnp.stack(k0s), jnp.stack(v0s))
 
 
 def make_lm_beam_search(
@@ -165,6 +212,8 @@ def make_lm_beam_search(
     prune: float = -6.9077554,  # log(0.001), `ctc_codec.py:128`
     kept_budget: int | None = None,
     group_size: int = 1,
+    seg_budget: int | None = None,
+    run_max: int = 8,
 ):
     """Build a jitted LM-fused beam search.
 
@@ -190,11 +239,17 @@ def make_lm_beam_search(
     for trained models.
 
     ``group_size=G`` vmaps G batch items through one scan (``lax.map`` over
-    B/G groups): the per-frame merge/peek work batches G-wide on the MXU.
-    Under vmap the fast/full ``lax.cond`` lowers to a select that executes
-    both sides, so G>1 trades per-item branch savings for batch
-    parallelism — a large win whenever G ambiguous frames rarely align.
+    B/G groups): the per-segment merge/peek work batches G-wide on the MXU.
     B must be divisible by G.
+
+    In skip mode the sequential unit is a SEGMENT, not a frame: a run of
+    up to ``run_max`` char-fast frames (single-survivor, in-place beam
+    update — no search) closed by at most one ambiguous frame. The whole
+    run costs one teacher-forced LM forward; only the ambiguous frame pays
+    the full candidate peek + merge + cache reorder. ``seg_budget``
+    statically caps scanned segments per line (None = kept budget, always
+    enough); size it with ``count_segments`` — segments ~= ambiguous
+    frames + char-fast runs longer than ``run_max``.
     """
     BM, K = beam_size, depth
     M = (lm_depth if lm_depth is not None else depth) if use_lm_pred else 0
@@ -248,6 +303,7 @@ def make_lm_beam_search(
         )
 
         def full_step(state, t, active):
+            """One full-search frame (`ctc_codec.py:183-285`)."""
             vis_idx = cand_idx[t]                              # (K,)
             vis_p = cand_vals[t]                               # (K,)
             if skip_search:
@@ -382,7 +438,11 @@ def make_lm_beam_search(
             sel_parent = par_s[top_idx]
             sel_ext = ext_s[top_idx]
             sel_char = chr_s[top_idx]
+            sel_slot = slot_s[top_idx]
             sel_alive = top_tot > NEG_INF * 0.5
+            sel_pb = jnp.where(sel_alive, pb_m[top_idx], NEG_INF)
+            sel_pnb = jnp.where(sel_alive, pnb_m[top_idx], NEG_INF)
+            sel_do = sel_ext & sel_alive & active
 
             new_prefixes = state.prefixes[sel_parent]
             app_pos = jnp.minimum(state.lengths[sel_parent], L - 1)
@@ -408,11 +468,10 @@ def make_lm_beam_search(
             # select (which would copy ~100s of MB per frame).
             reorder = jnp.where(active, sel_parent, jnp.arange(BM))
             gathered = CachedLM.gather(state.cache, reorder)
-            do_step = sel_ext & sel_alive & active
+            do_step = sel_do
             # The committed LM step is free: the peek already computed the
             # extension token's per-layer k/v and its next-token
             # distribution — commit them by gather + masked write.
-            sel_slot = slot_s[top_idx]
             k_sel = peek_k0[:, sel_parent, sel_slot]   # (layers, BM, H, Dh)
             v_sel = peek_v0[:, sel_parent, sel_slot]
             wpos = jnp.where(do_step, gathered.lengths, lm_ctx)
@@ -433,10 +492,8 @@ def make_lm_beam_search(
             new_state = LMBeamState(
                 prefixes=jnp.where(active, new_prefixes, state.prefixes),
                 lengths=jnp.where(active, new_lengths, state.lengths),
-                pb=jnp.where(active, jnp.where(sel_alive, pb_m[top_idx],
-                                               NEG_INF), state.pb),
-                pnb=jnp.where(active, jnp.where(sel_alive, pnb_m[top_idx],
-                                                NEG_INF), state.pnb),
+                pb=jnp.where(active, sel_pb, state.pb),
+                pnb=jnp.where(active, sel_pnb, state.pnb),
                 h1=jnp.where(active, jnp.where(sel_ext, nh1,
                                                state.h1[sel_parent]),
                              state.h1),
@@ -450,70 +507,98 @@ def make_lm_beam_search(
             )
             return new_state, ()
 
-        def fast_step(state, t, active):
-            """Single-survivor in-place update (`ctc_codec.py:145-171`)."""
-            pidx = cand_idx[t, 0]
-            p = cand_vals[t, 0]
-            p0 = blank_lp[t]
-            frame_on = (pidx < unknown_id) & active
+        def run_phase(state, cf_t, preA, preB):
+            """Commit a run of char-fast frames (`ctc_codec.py:145-171`
+            applied per frame) paying ONE teacher-forced LM forward.
 
-            prob = _logaddexp(state.pb, state.pnb)
-            alive = prob > NEG_INF * 0.5
-            tail = jnp.where(
+            ``cf_t (RM,)``: frame indices of the run's single-survivor char
+            frames in time order (-1 = empty slot). The per-frame pb/pnb/
+            prefix bookkeeping is elementwise per beam (no candidate
+            search) and runs as a cheap inner scan; the LM work — which
+            per-frame stepping would pay once per frame — batches into one
+            grouped peek over each beam's committed tokens, whose
+            byproducts provide the committed k/v, the positional log-probs
+            (prefix_score increments), and the end-of-run next-token
+            distribution."""
+            RM = cf_t.shape[0]
+            tc = jnp.clip(cf_t, 0)
+            slot_on = cf_t >= 0
+            char_s = cand_idx[tc, 0]                     # (RM,)
+            p_s = cand_vals[tc, 0]
+            p0_s = blank_lp[tc]
+            A_s = jnp.where(slot_on, preA[tc], 0.0)
+            B_s = jnp.where(slot_on, preB[tc], NEG_INF)
+
+            def slot(carry, xs):
+                pb, pnb, tail, lengths, h1, h2, prefixes = carry
+                on, ch, p, p0, a_op, b_op = xs
+                # fold the blank-fast run preceding this frame
+                pb = _logaddexp(a_op + pb, b_op + pnb)
+                prob = _logaddexp(pb, pnb)
+                alive = prob > NEG_INF * 0.5
+                is_rep = ch == tail
+                pb_live = pb > NEG_INF * 0.5
+                ext = (~is_rep) | pb_live        # appends the char
+                merge = is_rep & (~pb_live)      # folds into the tail
+                n_pb = jnp.where(ext, NEG_INF,
+                                 jnp.where(merge, prob + p0, pb))
+                n_pnb = jnp.where(
+                    ext, jnp.where(is_rep, pb + p, prob + p),
+                    jnp.where(merge, pnb + p, pnb))
+                upd = on & alive
+                ext_u = ext & upd
+                app_pos = jnp.minimum(lengths, L - 1)
+                appended = prefixes.at[jnp.arange(BM), app_pos].set(
+                    jnp.where(ext_u, ch,
+                              prefixes[jnp.arange(BM), app_pos]))
+                nh1, nh2 = _hash_extend(h1, h2, ch)
+                carry = (jnp.where(upd, n_pb, pb),
+                         jnp.where(upd, n_pnb, pnb),
+                         jnp.where(ext_u, ch, tail),
+                         lengths + ext_u.astype(jnp.int32),
+                         jnp.where(ext_u, nh1, h1),
+                         jnp.where(ext_u, nh2, h2),
+                         jnp.where(ext_u[:, None], appended, prefixes))
+                return carry, ext_u
+
+            tail0 = jnp.where(
                 state.lengths > 0,
                 state.prefixes[jnp.arange(BM),
                                jnp.maximum(state.lengths - 1, 0)],
                 jnp.int32(-1))
-            is_blank = pidx == blank_id
-            is_rep = pidx == tail
-            pb_live = state.pb > NEG_INF * 0.5
-            # branch conditions per beam
-            ext = (~is_blank) & ((~is_rep) | pb_live)   # appends the char
-            merge = (~is_blank) & is_rep & (~pb_live)
+            carry0 = (state.pb, state.pnb, tail0, state.lengths,
+                      state.h1, state.h2, state.prefixes)
+            (pb, pnb, _t, lengths, h1, h2, prefixes), ext_us = jax.lax.scan(
+                slot, carry0, (slot_on, char_s, p_s, p0_s, A_s, B_s))
+            commit = ext_us.T                            # (BM, RM)
 
-            new_pb = jnp.where(
-                is_blank, prob + p,
-                jnp.where(ext, NEG_INF,
-                          jnp.where(merge, prob + p0, state.pb)))
-            new_pnb = jnp.where(
-                is_blank, state.pnb,
-                jnp.where(ext,
-                          jnp.where(is_rep, state.pb + p, prob + p),
-                          jnp.where(merge, state.pnb + p, state.pnb)))
-
-            upd = frame_on & alive
-            ext_u = ext & upd
-            app_pos = jnp.minimum(state.lengths, L - 1)
-            appended = state.prefixes.at[jnp.arange(BM), app_pos].set(
-                jnp.where(ext_u, pidx,
-                          state.prefixes[jnp.arange(BM), app_pos]))
-            nh1, nh2 = _hash_extend(state.h1, state.h2, pidx)
-
-            # LM bookkeeping: one cache step for the appended char
-            lm_tok = jnp.broadcast_to(
-                codec2lm_j[jnp.clip(pidx, 0, unknown_id)], (BM,))
-            inc = jnp.take_along_axis(state.next_logp, lm_tok[:, None],
-                                      axis=-1)[:, 0]
-            step_logits, new_cache = clm.step(state.cache, lm_tok,
-                                              write_mask=ext_u)
-            new_next_logp = jnp.where(
-                ext_u[:, None],
-                jax.nn.log_softmax(step_logits, axis=-1),
-                state.next_logp)
-
-            new_state = LMBeamState(
-                prefixes=jnp.where(ext_u[:, None], appended, state.prefixes),
-                lengths=state.lengths + ext_u.astype(jnp.int32),
-                pb=jnp.where(upd, new_pb, state.pb),
-                pnb=jnp.where(upd, new_pnb, state.pnb),
-                h1=jnp.where(ext_u, nh1, state.h1),
-                h2=jnp.where(ext_u, nh2, state.h2),
-                prefix_score=state.prefix_score
-                + jnp.where(ext_u, inc, 0.0),
-                next_logp=new_next_logp,
+            # ---- one grouped LM forward over each beam's committed run
+            tok_s = codec2lm_j[jnp.clip(char_s, 0, unknown_id)]
+            order = jnp.argsort(~commit, axis=1, stable=True)  # compact
+            n_com = jnp.sum(commit, axis=1).astype(jnp.int32)
+            r_ids = jnp.arange(RM)[None, :]
+            ctok = jnp.where(r_ids < n_com[:, None], tok_s[order], 0)
+            total, _lp0, k_full, v_full, last_lp = _grouped_peek(
+                clm, state.cache, ctok[:, None, :], n_com[:, None],
+                state.next_logp, full_kv=True, want_last=True)
+            b_idx = jnp.arange(BM)
+            wpos = jnp.where(r_ids < n_com[:, None],
+                             state.cache.lengths[:, None] + r_ids, lm_ctx)
+            new_cache = LMCache(
+                k=state.cache.k.at[:, b_idx[:, None], wpos].set(
+                    k_full[:, :, 0].astype(clm.dtype), mode="drop"),
+                v=state.cache.v.at[:, b_idx[:, None], wpos].set(
+                    v_full[:, :, 0].astype(clm.dtype), mode="drop"),
+                lengths=state.cache.lengths + n_com,
+            )
+            return LMBeamState(
+                prefixes=prefixes, lengths=lengths, pb=pb, pnb=pnb,
+                h1=h1, h2=h2,
+                prefix_score=state.prefix_score + total[:, 0],
+                next_logp=jnp.where(n_com[:, None] > 0, last_lp[:, 0],
+                                    state.next_logp),
                 cache=new_cache,
             )
-            return new_state, ()
 
         if skip_search:
             # ---- frame compaction (`ctc_codec.py:124-181` semantics).
@@ -567,25 +652,51 @@ def make_lm_beam_search(
             kept_ts = order[:budget]
             i_ids = jnp.arange(budget)
             act = i_ids < n_kept
-            stepA = jnp.where(act, preA[kept_ts], 0.0)
-            stepB = jnp.where(act, preB[kept_ts], NEG_INF)
             is_cf = charfast[kept_ts] & act
+            is_amb = act & ~is_cf
 
-            def step(state, xs):
-                t, a_op, b_op, cf, active = xs
-                # fold the preceding blank-fast run into (pb, pnb)
+            # ---- segment schedule: each segment = a run of <= RM char-
+            # fast frames closed by <= 1 ambiguous frame, preserving time
+            # order. Only SEGMENTS are scanned sequentially: the run pays
+            # one batched LM forward (run_phase) and the ambiguous frame
+            # one full search (full_step) — char-fast frames no longer
+            # cost a per-frame peek or cache reorder.
+            SB = budget if seg_budget is None else min(seg_budget, budget)
+            RM = run_max
+
+            def sched(carry, xs):
+                seg, pos, cf_map, amb_map = carry
+                t, cf, amb = xs
+                overflow = cf & (pos >= RM)   # run full: open a new segment
+                w_seg = jnp.where(overflow, seg + 1, seg)
+                w_pos = jnp.where(overflow, 0, pos)
+                cf_map = cf_map.at[jnp.where(cf, w_seg, SB), w_pos].set(
+                    t, mode="drop")
+                amb_map = amb_map.at[jnp.where(amb, w_seg, SB)].set(
+                    t, mode="drop")
+                seg = jnp.where(amb, w_seg + 1, w_seg)
+                pos = jnp.where(amb, 0, jnp.where(cf, w_pos + 1, pos))
+                return (seg, pos, cf_map, amb_map), ()
+
+            (_, _, cf_map, amb_map), _ = jax.lax.scan(
+                sched,
+                (jnp.int32(0), jnp.int32(0),
+                 jnp.full((SB, RM), -1, jnp.int32),
+                 jnp.full((SB,), -1, jnp.int32)),
+                (kept_ts, is_cf, is_amb))
+
+            def seg_step(state, xs):
+                cf_t, amb_t = xs
+                state = run_phase(state, cf_t, preA, preB)
+                a_on = amb_t >= 0
+                ta = jnp.clip(amb_t, 0)
                 state = state._replace(
-                    pb=_logaddexp(a_op + state.pb, b_op + state.pnb))
-                # under vmap (grouped decode) this cond lowers to a select
-                # executing both sides; ungrouped it is a real branch
-                return jax.lax.cond(
-                    cf | ~active,
-                    lambda s: fast_step(s, t, active),
-                    lambda s: full_step(s, t, active),
-                    state)
+                    pb=_logaddexp(
+                        jnp.where(a_on, preA[ta], 0.0) + state.pb,
+                        jnp.where(a_on, preB[ta], NEG_INF) + state.pnb))
+                return full_step(state, ta, a_on)
 
-            state, _ = jax.lax.scan(
-                step, state, (kept_ts, stepA, stepB, is_cf, act))
+            state, _ = jax.lax.scan(seg_step, state, (cf_map, amb_map))
             # blank-fast frames after the last kept frame
             state = state._replace(
                 pb=_logaddexp(tailA + state.pb, tailB + state.pnb))
@@ -642,4 +753,43 @@ def count_kept_frames(cand_idx: jnp.ndarray, n_above: jnp.ndarray,
         sv = arg[:end]
         charfast = fast & (sv != blank_id) & (sv < unknown_id)
         out[b] = int((~fast).sum() + charfast.sum())
+    return out
+
+
+def count_segments(cand_idx: jnp.ndarray, n_above: jnp.ndarray,
+                   *, unknown_id: int, blank_id: int = 0,
+                   suffix_frames: int = 4, run_max: int = 8) -> np.ndarray:
+    """Per-line count of segments the segment-compacted skip-search scans
+    (mirrors the device scheduler: a segment = a run of <= ``run_max``
+    char-fast frames closed by <= 1 ambiguous frame) — use to size
+    ``seg_budget``. Host-side helper."""
+    cand_idx = np.asarray(cand_idx)
+    n_above = np.asarray(n_above)
+    B, T = n_above.shape
+    out = np.zeros((B,), np.int64)
+    for b in range(B):
+        arg = cand_idx[b, :, 0]
+        prev = np.concatenate([[-1], arg[:-1]])
+        keep = (arg != blank_id) & (arg != unknown_id) & (arg != prev)
+        end = (int(np.max(np.where(keep, np.arange(T), -1))) + suffix_frames
+               if keep.any() else 0)
+        end = min(end, T)
+        fast = n_above[b, :end] == 1
+        sv = arg[:end]
+        charfast = fast & (sv != blank_id) & (sv < unknown_id)
+        amb = ~fast
+        seg = pos = 0
+        trailing = False
+        for t in range(end):
+            if charfast[t]:
+                if pos >= run_max:
+                    seg += 1
+                    pos = 0
+                pos += 1
+                trailing = True
+            elif amb[t]:
+                seg += 1
+                pos = 0
+                trailing = False
+        out[b] = seg + (1 if trailing else 0)
     return out

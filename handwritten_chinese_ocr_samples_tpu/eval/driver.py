@@ -22,16 +22,15 @@ def load_recognizer_variables(model_file: str, state_template=None):
     if model_file.endswith((".pth.tar", ".pth", ".pt")):
         from ..compat.torch_convert import convert_checkpoint
         return convert_checkpoint(model_file)
-    import jax
-    import orbax.checkpoint as ocp
-    payload = ocp.PyTreeCheckpointer().restore(os.path.abspath(model_file))
+    # Host-array restore: a checkpoint saved under a different topology
+    # (CPU-trained vs TPU-eval, or a training mesh) restores fine and the
+    # eval jits are free to place the arrays (``torch.load(map_location=
+    # 'cpu')`` semantics, `test.py:152`).
+    from ..utils.ckpt_io import restore_pytree_host
+    payload = restore_pytree_host(os.path.abspath(model_file))
     if "params" in payload:
-        variables = {"params": payload["params"],
-                     "batch_stats": payload.get("batch_stats", {})}
-        # Orbax restores with the sharding the checkpoint was saved under
-        # (possibly a training mesh); normalize to host arrays so eval jits
-        # are free to place them.
-        return jax.tree.map(np.asarray, variables)
+        return {"params": payload["params"],
+                "batch_stats": payload.get("batch_stats", {})}
     raise ValueError(f"unrecognized checkpoint layout at {model_file}")
 
 

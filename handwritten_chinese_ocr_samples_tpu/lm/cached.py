@@ -49,10 +49,12 @@ class CachedLM:
         self.d_model = model.d_model
         self.d_head = model.d_model // model.n_heads
         self.dtype = dtype if dtype is not None else model.dtype
-        if self.dtype != jnp.float32:
-            params = jax.tree.map(
-                lambda a: a.astype(self.dtype)
-                if a.dtype == jnp.float32 else a, params)
+        # always materialize as jax arrays: checkpoints restore as host
+        # numpy (utils.ckpt_io) and numpy arrays cannot be indexed by
+        # tracers (`_embed_token`)
+        params = jax.tree.map(
+            lambda a: jnp.asarray(a, self.dtype)
+            if a.dtype == jnp.float32 else jnp.asarray(a), params)
         self.p = params
 
     # ------------------------------------------------------------ plumbing

@@ -57,5 +57,8 @@ def load_lm(lm_dir: str, dtype=jnp.float32
     with open(cfg_file) as f:
         cfg = json.load(f)
     model = CharTransformerLM(dtype=dtype, **cfg)
-    payload = ocp.PyTreeCheckpointer().restore(weights)
+    # host-array restore — loadable regardless of the topology the bundle
+    # was trained/saved under (see utils.ckpt_io)
+    from ..utils.ckpt_io import restore_pytree_host
+    payload = restore_pytree_host(weights)
     return model, {"params": payload["params"]}, tokenizer

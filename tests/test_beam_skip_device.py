@@ -154,6 +154,39 @@ def test_skip_device_kept_budget_exact_when_sufficient(setup):
     assert outs[0] == outs[1]
 
 
+def test_skip_device_seg_budget_and_run_max(setup):
+    """A segment budget >= the true segment count gives identical output,
+    and a tiny run_max (forcing run-overflow segments) is still exact."""
+    from handwritten_chinese_ocr_samples_tpu.decode.beam_lm_device import (
+        count_segments,
+    )
+    codec, clm, scorer, c2l, l2c = setup
+    BM, K = 4, 6
+    logits_tbd = _peaky_preds(T=24, B=2, seed=11)
+    logits_btd = jnp.asarray(logits_tbd.transpose(1, 0, 2))
+    cv, ci, blank_lp, n_above = topk_logsoftmax_xla(logits_btd, k=K,
+                                                    prune=PRUNE)
+    logz = jax.scipy.special.logsumexp(
+        logits_btd.astype(jnp.float32), axis=-1)
+
+    segs = count_segments(ci, n_above, unknown_id=codec.unknown_id,
+                          run_max=2)
+    sb = int(segs.max())
+    assert sb > 0
+
+    outs = []
+    for kwargs in ({}, {"seg_budget": sb, "run_max": 2},
+                   {"run_max": 1}):
+        fn = make_lm_beam_search(
+            clm, c2l, l2c, beam_size=BM, depth=K,
+            unknown_id=codec.unknown_id, lm_panelty=0.7, len_bonus=1.5,
+            lm_ctx=64, use_lm_pred=True, skip_search=True, prune=PRUNE,
+            **kwargs)
+        prefixes, lengths = fn(cv, ci, logits_btd, logz, blank_lp, n_above)
+        outs.append(codec.compact_to_texts(prefixes, lengths))
+    assert outs[0] == outs[1] == outs[2]
+
+
 def test_skip_host_sanity_survivor_counts(setup):
     """The synthetic generator really produces single-survivor frames."""
     logits = _peaky_preds(T=32, B=1, seed=3)

@@ -46,3 +46,47 @@ def test_fused_beam_matches_unfused():
         n = int(np.asarray(l1)[b])
         np.testing.assert_array_equal(np.asarray(p1)[b, :n],
                                       np.asarray(p2)[b, :n])
+
+
+def test_peek_cache_attention_interpret():
+    """Pallas peek-attention partials (interpret mode) == XLA oracle,
+    including empty caches and merged full attention."""
+    import jax
+    import numpy as np
+    from handwritten_chinese_ocr_samples_tpu.ops.peek_attention import (
+        merge_partials, peek_cache_attention, peek_cache_attention_xla)
+
+    rng = np.random.default_rng(0)
+    B, N, H, Dh, L = 4, 10, 2, 8, 16
+    q = jnp.asarray(rng.normal(size=(B, N, H, Dh)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, L, H, Dh)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, L, H, Dh)), jnp.float32)
+    lengths = jnp.asarray([0, 3, L, 7], jnp.int32)
+
+    o_p, m_p, l_p = peek_cache_attention(q, k, v, lengths, interpret=True)
+    o_x, m_x, l_x = peek_cache_attention_xla(q, k, v, lengths)
+    np.testing.assert_allclose(np.asarray(o_p), np.asarray(o_x),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(m_p), np.asarray(m_x),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(l_p), np.asarray(l_x),
+                               rtol=1e-5, atol=1e-5)
+
+    # merged with a second partial == dense softmax over the union
+    k2 = jnp.asarray(rng.normal(size=(B, 4, H, Dh)), jnp.float32)
+    v2 = jnp.asarray(rng.normal(size=(B, 4, H, Dh)), jnp.float32)
+    o2, m2, l2 = peek_cache_attention_xla(
+        q, k2, v2, jnp.full((B,), 4, jnp.int32))
+    got = merge_partials(o_p, m_p, l_p, o2, m2, l2)
+
+    kk = jnp.concatenate([k, k2], axis=1)
+    vv = jnp.concatenate([v, v2], axis=1)
+    s = jnp.einsum("bnhk,blhk->bnhl", q, kk)
+    valid = jnp.concatenate(
+        [jnp.arange(L)[None, :] < lengths[:, None],
+         jnp.ones((B, 4), bool)], axis=1)
+    s = jnp.where(valid[:, None, None, :], s, -1e30)
+    w = jax.nn.softmax(s, axis=-1)
+    want = jnp.einsum("bnhl,blhk->bnhk", w, vv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)

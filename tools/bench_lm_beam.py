@@ -69,13 +69,16 @@ def main():
     ap.add_argument("--no-skip", action="store_true")
     ap.add_argument("--beam", type=int, default=10)
     ap.add_argument("--depth", type=int, default=10)
+    ap.add_argument("--seg-budget", type=int, default=96)
+    ap.add_argument("--runmax", type=int, default=8)
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
     from handwritten_chinese_ocr_samples_tpu.core.codec import CTCCodec
     from handwritten_chinese_ocr_samples_tpu.decode.beam_lm_device import (
-        count_kept_frames, make_id_tables, make_lm_beam_search)
+        count_kept_frames, count_segments, make_id_tables,
+        make_lm_beam_search)
     from handwritten_chinese_ocr_samples_tpu.lm.cached import CachedLM
     from handwritten_chinese_ocr_samples_tpu.lm.model import CharTransformerLM
     from handwritten_chinese_ocr_samples_tpu.lm.tokenizer import Tokenizer
@@ -101,7 +104,9 @@ def main():
         unknown_id=codec.unknown_id, lm_panelty=0.8, len_bonus=4.8,
         lm_ctx=args.lm_ctx, use_lm_pred=True, skip_search=skip,
         kept_budget=args.budget if skip else None,
-        group_size=args.group if skip else 1)
+        group_size=args.group if skip else 1,
+        seg_budget=args.seg_budget if skip else None,
+        run_max=args.runmax)
 
     print(f"synthesizing logits ({B}x{T}x{D})...", flush=True)
     logits_np = synth_peaky_logits(B, T, D)
@@ -118,10 +123,16 @@ def main():
     cv, ci, logz, blank_lp, n_above = prep(logits)
     kept = count_kept_frames(np.asarray(ci), np.asarray(n_above),
                              unknown_id=codec.unknown_id)
+    segs = count_segments(np.asarray(ci), np.asarray(n_above),
+                          unknown_id=codec.unknown_id, run_max=args.runmax)
     print(f"kept frames/line: min {kept.min()} mean {kept.mean():.0f} "
-          f"max {kept.max()} (budget {args.budget})", flush=True)
+          f"max {kept.max()} (budget {args.budget}); segments/line: "
+          f"min {segs.min()} mean {segs.mean():.0f} max {segs.max()} "
+          f"(seg budget {args.seg_budget})", flush=True)
     if skip and kept.max() > args.budget:
         print("WARNING: kept-frame budget overflow — results truncated")
+    if skip and segs.max() > args.seg_budget:
+        print("WARNING: segment budget overflow — results truncated")
 
     def run_once():
         if skip:

@@ -8,7 +8,7 @@ model trained through the real ``main.py`` CLI, and a CER transcript
 produced by the real ``test.py -bm`` CLI. Anyone can re-run this script, or
 evaluate the committed checkpoint directly:
 
-    python test.py -m hctr-tiny -f demo/checkpoint -i demo/data/test -bm
+    python test.py -m hctr-tiny -f demo/checkpoint -i demo/data -bm
 
 Run on a TPU chip this takes ~3 minutes end to end.
 """
@@ -62,7 +62,7 @@ def main():
 
     proc = run([sys.executable, "test.py", "-m", "hctr-tiny",
                 "-f", os.path.join(DEMO, "checkpoint"),
-                "-i", os.path.join(data, "test"),
+                "-i", data,
                 "-cl", os.path.join(data, "chars_list.txt"),
                 "-bm", "-b", "8", "-tv"],
                capture_output=True, text=True)
@@ -79,7 +79,7 @@ def main():
         f.write("    python tools/make_demo_artifact.py --skip-train\n")
         f.write("    # or directly:\n")
         f.write("    python test.py -m hctr-tiny -f demo/checkpoint "
-                "-i demo/data/test -bm\n\n")
+                "-i demo/data -bm\n\n")
         f.write(f"- model: hctr-tiny (64-ch SE-ResNet [1,1,1,1] trunk)\n")
         f.write(f"- data: 64 train / 16 test synthetic text lines "
                 f"(seed 42, tests/util_synth.py glyphs)\n")

@@ -18,13 +18,26 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
 def timed(fn, *args, iters=5):
-    out = fn(*args)
-    np.asarray(out[0] if isinstance(out, tuple) else out).ravel()[:1]
+    """Time a jitted fn. The fn is wrapped to reduce every output to ONE
+    scalar on device — transferring real outputs would swamp the timing
+    with D2H traffic (the TPU tunnel moves ~130 MB/s and a single sync
+    costs ~30 ms; `block_until_ready` does not reliably block on axon)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def checksum(*a):
+        out = fn(*a)
+        leaves = jax.tree.leaves(out)
+        return sum(jnp.sum(x).astype(jnp.float32) for x in leaves
+                   if hasattr(x, "dtype"))
+
+    np.asarray(checksum(*args))
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = fn(*args)
-        np.asarray(out[0] if isinstance(out, tuple) else out).ravel()[:1]
+        out = checksum(*args)
+        np.asarray(out)
         ts.append(time.perf_counter() - t0)
     return min(ts)
 
@@ -37,6 +50,9 @@ def main():
     ap.add_argument("--r", type=int, default=21, help="peek rows per beam")
     ap.add_argument("--s1", type=int, default=5)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--scan", type=int, default=0,
+                    help="N>0: also time each component inside one "
+                         "N-step lax.scan (amortizes the dispatch floor)")
     args = ap.parse_args()
 
     import jax
@@ -116,6 +132,80 @@ def main():
     k2 = jnp.asarray(rng.integers(0, 1 << 30, (G, n_rows)), jnp.int32)
     vv = jnp.asarray(rng.normal(size=(G, n_rows)), jnp.float32)
     t_sort = timed(sm, k1, k2, vv)
+
+    # ---- scan mode: true per-step device time. A single timed dispatch
+    # sits on a ~26 ms host-sync latency floor (tunneled TPU), so each
+    # component is iterated N times inside ONE lax.scan — the floor
+    # amortizes away and the delta between runs isolates the component.
+    N = args.scan
+    if N:
+        import jax
+
+        def scanned(body, init_carry, *aux):
+            # aux arrays are jit ARGUMENTS (closing over them would embed
+            # them as constants in the HLO — hundreds of MB shipped to the
+            # remote compiler)
+            @jax.jit
+            def run(c, *aux):
+                c, _ = jax.lax.scan(lambda c, _: (body(c, *aux), ()), c,
+                                    None, length=N)
+                return jax.tree.map(
+                    lambda x: jnp.sum(x).astype(jnp.float32)
+                    if hasattr(x, "dtype") else 0.0, c)
+            np.asarray(jax.tree.leaves(run(init_carry, *aux))[0])
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = run(init_carry, *aux)
+                np.asarray(jax.tree.leaves(out)[0])
+                ts.append(time.perf_counter() - t0)
+            return min(ts) / N
+
+        def peek_body(c, cache, tokens, n_tokens):
+            nl = c
+            tot, logp0, k0, v0 = _grouped_peek(clm, cache, tokens,
+                                               n_tokens, nl)
+            # fold FULL outputs back into the carry — consuming slices lets
+            # XLA dead-code-eliminate the other rows' whole forward pass
+            return (nl + jnp.sum(logp0, axis=1)
+                    + (jnp.sum(tot, axis=1) + jnp.sum(k0) + jnp.sum(v0)
+                       )[:, None])
+
+        t_peek_s = scanned(peek_body, next_logp, cache, tokens, n_tokens)
+
+        def logits_body(c):
+            lp = jax.nn.log_softmax(clm._logits(c), axis=-1)
+            return c + lp[..., :512].astype(dtype)
+
+        t_logits_s = scanned(logits_body, h)
+
+        def gather_body(c, reorder, k_new):
+            g = CachedLM.gather(c, reorder)
+            bi = jnp.arange(B)
+            return LMCache(k=g.k.at[:, bi, g.lengths].set(k_new, mode="drop"),
+                           v=g.v.at[:, bi, g.lengths].set(k_new, mode="drop"),
+                           lengths=g.lengths)
+
+        t_gather_s = scanned(gather_body, cache, reorder, k_new)
+
+        def sort_body(c):
+            k1, k2, vv = c
+            s1_, s2_, sv = jax.lax.sort((k1, k2, vv), num_keys=2)
+            tk = jax.vmap(lambda x: jax.lax.top_k(x, 10)[0])(sv)
+            return (s2_, s1_, sv.at[:, :10].add(tk))
+
+        G = max(B // 10, 1)
+        n_rows = 10 * (R - 1) + 10
+        k1 = jnp.asarray(rng.integers(0, 1 << 30, (G, n_rows)), jnp.int32)
+        k2 = jnp.asarray(rng.integers(0, 1 << 30, (G, n_rows)), jnp.int32)
+        vv = jnp.asarray(rng.normal(size=(G, n_rows)), jnp.float32)
+        t_sort_s = scanned(sort_body, (k1, k2, vv))
+
+        print(f"-- scanned x{N} (true device time/step) --")
+        print(f"peek          : {t_peek_s * 1e3:8.2f} ms")
+        print(f"logits+lsm    : {t_logits_s * 1e3:8.2f} ms")
+        print(f"cache gather  : {t_gather_s * 1e3:8.2f} ms")
+        print(f"sort+topk     : {t_sort_s * 1e3:8.2f} ms")
 
     tok = B * R * S1
     flops_layers = tok * (6 * (4 * 512 * 512 + 2 * 512 * 2048) * 2)
