@@ -41,7 +41,12 @@ Dtype = Any
 
 
 def _maxpool_h2(x: jnp.ndarray) -> jnp.ndarray:
-    """Max-pool kernel (2,1) stride (2,1) on NHWC: halve height, keep width."""
+    """Max-pool kernel (2,1) stride (2,1) on NHWC: halve height, keep width.
+
+    Keep the reduce_window form: a reshape+max-over-window-axis variant
+    measured ~4% SLOWER end-to-end on v5e (the reshapes break fusion;
+    XLA already lowers the non-overlapping window efficiently).
+    """
     return nn.max_pool(x, window_shape=(2, 1), strides=(2, 1))
 
 
@@ -111,6 +116,7 @@ class SEResNetBackbone(nn.Module):
     num_blocks: Sequence[int] = (2, 4, 5, 1)
     dtype: Dtype = jnp.float32
     stage_drop: Sequence[float] = (0.3, 0.3, 0.3, 0.9)
+    block_drop: float = 0.1
     remat: bool = False
 
     @nn.compact
@@ -146,6 +152,7 @@ class SEResNetBackbone(nn.Module):
                     planes,
                     use_downsample=(b == 0 and in_planes != planes),
                     dtype=self.dtype,
+                    drop_rate=self.block_drop,
                     name=f"block{stage + 1}_{b}",
                 )(x, train)
                 in_planes = planes
@@ -176,6 +183,8 @@ class HCTRModel(nn.Module):
     dtype: Dtype = jnp.float32
     backbone_channels: int = 512
     num_blocks: Sequence[int] = (2, 4, 5, 1)
+    stage_drop: Sequence[float] = (0.3, 0.3, 0.3, 0.9)
+    block_drop: float = 0.1
     remat: bool = False
 
     # Model-intrinsic config, mirroring the attribute-registry pattern of the
@@ -192,6 +201,8 @@ class HCTRModel(nn.Module):
         feats = SEResNetBackbone(out_channels=self.backbone_channels,
                                  num_blocks=tuple(self.num_blocks),
                                  dtype=self.dtype, remat=self.remat,
+                                 stage_drop=tuple(self.stage_drop),
+                                 block_drop=self.block_drop,
                                  name="cnn")(x, train=train)
         # (B, H=4, W, C=512) -> (B, W, H*C=2048). Native flatten order is
         # (H, C); the torch checkpoint converter permutes the head weight from

@@ -84,7 +84,9 @@ class ServingEngine:
                  skip_search: bool = False,
                  lm_ctx: int = 300,
                  lm_group: int = 1,
-                 kept_budget: int | None = None):
+                 kept_budget: int | None = None,
+                 seg_budget: int | None = None,
+                 run_max: int = 8):
         import jax
         import jax.numpy as jnp
 
@@ -125,7 +127,8 @@ class ServingEngine:
                 len_bonus=len_bonus,
                 lm_ctx=min(lm.lm_model.max_len, lm_ctx),
                 use_lm_pred=use_lm_pred, skip_search=self._skip,
-                kept_budget=kept_budget, group_size=lm_group)
+                kept_budget=kept_budget, group_size=lm_group,
+                seg_budget=seg_budget, run_max=run_max)
 
             def infer(variables, x_u8):
                 logits = model.apply(variables, normalize(x_u8),
