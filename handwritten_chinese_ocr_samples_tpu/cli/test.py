@@ -72,8 +72,10 @@ def build_argparser():
                       help="print PRE/TRU pairs during testing")
     args.add_argument("-pf", "--print-freq", dest="print_freq", type=int,
                       metavar="N", default=100, help="log print frequency")
-    args.add_argument("--chars-list", dest="chars_list", type=str, default=None,
-                      help="explicit chars_list.txt path")
+    args.add_argument("-cl", "--chars-list", dest="chars_list", type=str,
+                      default=None,
+                      help="explicit chars_list.txt path (same alias as "
+                           "the deploy CLI)")
     args.add_argument("--host-beam", dest="host_beam", action="store_true",
                       help="force the host beam-search decoder (device "
                            "decoding is the default where supported)")

@@ -37,6 +37,9 @@ def build_argparser():
                       metavar="M", help="momentum")
     args.add_argument("-wd", "--weight-decay", default=1e-4, type=float,
                       metavar="W", help="weight decay")
+    args.add_argument("--lr-decay-epochs", default=30, type=int, metavar="N",
+                      help="x0.1 LR step interval (reference hardcodes 30, "
+                           "`main.py:579-584`)")
     args.add_argument("-pf", "--print-freq", default=1000, type=int,
                       metavar="N", help="print frequency")
     args.add_argument("-vf", "--val-freq", default=50000, type=int,
@@ -96,6 +99,7 @@ def main():
         data=args.data, model_type=args.model_type,
         batch_size=args.batch_size, lr=args.lr, momentum=args.momentum,
         weight_decay=args.weight_decay, epochs=args.epochs,
+        lr_decay_epochs=args.lr_decay_epochs,
         start_epoch=args.start_epoch, print_freq=args.print_freq,
         val_freq=args.val_freq, workers=args.workers, seed=args.seed,
         resume=args.resume, test_only=args.test,

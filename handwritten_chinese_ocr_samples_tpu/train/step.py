@@ -73,9 +73,10 @@ def make_optimizer(
 
 
 def adjust_learning_rate(state: TrainState, base_lr: float,
-                         epoch: int) -> TrainState:
-    """``lr = base_lr * 0.1 ** (epoch // 30)`` (`main.py:579-584`)."""
-    lr = base_lr * (0.1 ** (epoch // 30))
+                         epoch: int, decay_epochs: int = 30) -> TrainState:
+    """``lr = base_lr * 0.1 ** (epoch // decay_epochs)``; the reference
+    hardcodes the 30-epoch interval (`main.py:579-584`)."""
+    lr = base_lr * (0.1 ** (epoch // max(decay_epochs, 1)))
     opt_state = state.opt_state
     opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
     return state.replace(opt_state=opt_state)

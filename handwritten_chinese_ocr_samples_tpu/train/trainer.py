@@ -42,6 +42,7 @@ class TrainerConfig:
     momentum: float = 0.9
     weight_decay: float = 1e-4
     epochs: int = 90
+    lr_decay_epochs: int = 30   # reference: x0.1 every 30 (`main.py:579`)
     start_epoch: int = 0
     print_freq: int = 1000
     val_freq: int = 50000
@@ -192,7 +193,8 @@ class Trainer:
         train_loader = self._loader("train", shuffle=True)
         step_in_epoch = 0
         for epoch in range(self.start_epoch, cfg.epochs):
-            self.state = adjust_learning_rate(self.state, cfg.lr, epoch)
+            self.state = adjust_learning_rate(self.state, cfg.lr, epoch,
+                                              cfg.lr_decay_epochs)
             train_loader.set_epoch(epoch)
             self._train_epoch(train_loader, epoch)
             acc = self.evaluate("test")

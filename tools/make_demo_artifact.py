@@ -32,7 +32,7 @@ def run(cmd, **kw):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=200)
+    ap.add_argument("--epochs", type=int, default=250)
     ap.add_argument("--lr", type=float, default=0.02)
     ap.add_argument("--skip-train", action="store_true",
                     help="only re-evaluate the committed checkpoint")
@@ -50,8 +50,11 @@ def main():
         out = os.path.join(DEMO, "train_out")
         if os.path.isdir(out):
             shutil.rmtree(out)
+        # constant LR for ~1600 steps (8/epoch): the reference's 30-epoch
+        # x0.1 decay would freeze this tiny run after 240 steps
         run([sys.executable, "main.py", "-m", "hctr-tiny", "-d", data,
              "-b", "8", "-lr", str(args.lr), "-ep", str(args.epochs),
+             "--lr-decay-epochs", "200",
              "-j", "2", "--seed", "42", "--max-width", "256",
              "--bucket-step", "128", "--out-dir", out])
         src = os.path.join(out, "hctr-tiny_checkpoint")

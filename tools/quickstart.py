@@ -94,7 +94,22 @@ def main():
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("-b", "--batch-size", type=int, default=8)
     ap.add_argument("-lr", type=float, default=0.001)
+    ap.add_argument("--eval-artifact", action="store_true",
+                    help="with --demo: skip training and evaluate the "
+                         "committed convergence artifact (demo/checkpoint, "
+                         "CER 0.0 on its test split — see demo/RESULTS.md)")
     args = ap.parse_args()
+
+    if args.demo and args.eval_artifact:
+        import subprocess
+        import sys as _sys
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        raise SystemExit(subprocess.call(
+            [_sys.executable, os.path.join(repo, "test.py"), "-m",
+             "hctr-tiny", "-f", os.path.join(repo, "demo", "checkpoint"),
+             "-i", os.path.join(repo, "demo", "data"),
+             "-cl", os.path.join(repo, "demo", "data", "chars_list.txt"),
+             "-bm", "-b", "8"]))
 
     if args.demo:
         build_demo_dataset(args.out)
