@@ -49,6 +49,7 @@ class KenLMBackend:
     """
 
     def __init__(self, model_path: str):
+        self.path = model_path
         try:
             import kenlm  # optional dependency, as in the reference
             self.model = kenlm.Model(model_path)

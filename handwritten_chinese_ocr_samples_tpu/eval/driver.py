@@ -92,6 +92,17 @@ class EvalSession:
             self.use_beam and isinstance(self.beam.lm, JaxLMBackend)
             and args.use_tfm_score
             and not getattr(args, "host_beam", False))
+        # Host-beam configurations (skip search, KenLM/ARPA n-gram, no-LM
+        # host fallback) upgrade to the native C++ decoder when its
+        # library is built — transcription-identical to the Python host
+        # decoder (tests/test_native_cbs.py), interpreter-loop-free.
+        if self.use_beam and not self.device_beam and not self.device_lm_beam:
+            from ..decode.beam_host_native import try_native_host_decoder
+            native = try_native_host_decoder(
+                self.codec, self.beam.cfg, lm=self.beam.lm,
+                kenlm_path=getattr(args, "kenlm_path", ""))
+            if native is not None:
+                self.beam = native
 
         model = self.model
         unknown_id = self.codec.unknown_id

@@ -158,6 +158,13 @@ class ServingEngine:
                 use_lm_score=use_lm_score and lm is not None,
                 skip_search=skip_search)
             self._host_beam = BeamSearchDecoder(codec, lm or NullLM(), cfg)
+            # upgrade to the native C++ decoder for qualifying configs
+            # (no-LM / ARPA n-gram) — identical transcriptions, no
+            # interpreter loop (tests/test_native_cbs.py)
+            from ..decode.beam_host_native import try_native_host_decoder
+            native = try_native_host_decoder(codec, cfg, lm=lm)
+            if native is not None:
+                self._host_beam = native
 
             def infer(variables, x_u8):
                 logits = model.apply(variables, normalize(x_u8),
