@@ -26,6 +26,10 @@ def build_argparser():
                       help="target device (informational; TPU)")
     args.add_argument("-ni", "--number-iter", type=int, default=20,
                       help="number of inference iterations (latency avg)")
+    args.add_argument("-b", "--batch-size", type=int, default=1,
+                      help="folder inputs: serve in width-bucketed batches "
+                           "of this size (throughput mode; 1 = the "
+                           "reference's per-image loop)")
     args.add_argument("-cl", "--chars-list", type=str, default=None,
                       help="chars_list.txt path")
     args.add_argument("-w", "--widths", type=str, default="512,1024,1600",
@@ -108,10 +112,18 @@ def main():
                  if f.lower().endswith((".png", ".jpg", ".jpeg", ".bmp"))]
         iters = 1
 
-    texts, avg_ms = engine.infer_files(files, iterations=iters)
-    for f, t in zip(files, texts):
-        log.info(f"Showing the prediction...\nfile:\t{f}\npred:\t{t}")
-    log.info(f"Average throughput: {avg_ms} ms")
+    if args.batch_size > 1 and len(files) > 1:
+        texts, lps = engine.infer_files_batched(
+            files, batch_size=args.batch_size)
+        for f, t in zip(files, texts):
+            log.info(f"Showing the prediction...\nfile:\t{f}\npred:\t{t}")
+        log.info(f"Batched throughput: {lps:.2f} lines/sec "
+                 f"(batch {args.batch_size})")
+    else:
+        texts, avg_ms = engine.infer_files(files, iterations=iters)
+        for f, t in zip(files, texts):
+            log.info(f"Showing the prediction...\nfile:\t{f}\npred:\t{t}")
+        log.info(f"Average throughput: {avg_ms} ms")
 
 
 if __name__ == "__main__":

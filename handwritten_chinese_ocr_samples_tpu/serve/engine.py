@@ -230,7 +230,7 @@ class ServingEngine:
             true_w = int(h * src.shape[1] / src.shape[0])
             w = self.bucket_for(true_w)
             x = preprocess_fixed_shape(f, h, w)
-            exe = self._compiled.get((1, w))
+            exe = self._exe(1, w)
             for _ in range(iterations):
                 t0 = time.time()
                 outputs = exe(self.variables, jnp.asarray(x))
@@ -238,3 +238,62 @@ class ServingEngine:
                 times.append((time.time() - t0) * 1000)
             texts.append(text)
         return texts, float(np.mean(times)) if times else 0.0
+
+    def _exe(self, b: int, w: int):
+        """AOT executable for (batch, width); compiled on demand."""
+        import jax
+        import jax.numpy as jnp
+        key = (b, w)
+        if key not in self._compiled:
+            h = self.model.img_height
+            var_shapes = jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+                self.variables)
+            shape = jax.ShapeDtypeStruct((b, h, w, 1), jnp.uint8)
+            self._compiled[key] = (
+                jax.jit(self._infer).lower(var_shapes, shape).compile())
+        return self._compiled[key]
+
+    def infer_files_batched(self, image_files: Sequence[str],
+                            batch_size: int = 8
+                            ) -> Tuple[List[str], float]:
+        """Throughput-oriented serving: requests grouped by width bucket
+        and decoded in fixed-shape batches (the last batch of a group is
+        padded by repetition and truncated after decode). Returns texts in
+        input order plus aggregate lines/sec. The reference serves one
+        image per inference request (`deploy.py:109-125`); batching is the
+        TPU-native upgrade — one executable per (batch, bucket) pair.
+        """
+        import jax.numpy as jnp
+
+        h = self.model.img_height
+        groups: Dict[int, List[int]] = {}
+        arrays: List[np.ndarray] = []
+        for i, f in enumerate(image_files):
+            src = cv2.imread(f)
+            if src is None:
+                raise FileNotFoundError(f)
+            if src.ndim == 3:
+                src = cv2.cvtColor(src, cv2.COLOR_BGR2GRAY)
+            true_w = int(h * src.shape[1] / src.shape[0])
+            w = self.bucket_for(true_w)
+            groups.setdefault(w, []).append(i)
+            arrays.append(preprocess_fixed_shape(f, h, w))
+
+        texts: List[str] = [""] * len(image_files)
+        t0 = time.time()
+        for w, idxs in groups.items():
+            bs = min(batch_size, len(idxs))
+            exe = self._exe(bs, w)
+            for s in range(0, len(idxs), bs):
+                chunk = idxs[s: s + bs]
+                pad = bs - len(chunk)
+                batch = np.concatenate(
+                    [arrays[i] for i in chunk]
+                    + [arrays[chunk[-1]]] * pad, axis=0)
+                outputs = exe(self.variables, jnp.asarray(batch))
+                decoded = self._decode_outputs(outputs)
+                for i, t in zip(chunk, decoded[: len(chunk)]):
+                    texts[i] = t
+        dt = time.time() - t0
+        return texts, (len(image_files) / dt if dt > 0 else 0.0)

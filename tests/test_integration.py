@@ -74,6 +74,15 @@ def test_serving_engine(synth_root):
     assert len(texts) == 2
     assert avg_ms >= 0.0
 
+    # batched mode: same transcriptions, in input order, padded last batch
+    all_files = [os.path.join(synth_root, "test", f)
+                 for f in sorted(os.listdir(
+                     os.path.join(synth_root, "test")))]
+    t1, _ = engine.infer_files(all_files, iterations=1)
+    t2, lps = engine.infer_files_batched(all_files, batch_size=3)
+    assert t2 == t1
+    assert lps > 0.0
+
 
 def test_cli_parsers():
     from handwritten_chinese_ocr_samples_tpu.cli.train import (

@@ -6,10 +6,16 @@ that corpus is not available in this environment (zero egress). As a
 verifiable stand-in, this trains `lm.train.train_char_lm` on a 90/10
 split of the HWDB2.x page ground-truth corpus itself and reports held-out
 perplexity computed the fairseq way (exp of mean per-token NLL, eos
-included). The absolute number is NOT comparable to 29 (three orders of
-magnitude less training text) — what it validates is that the training
-recipe, tokenizer eos-fill semantics, and scoring produce a sane
-generalizing model rather than only the overfit-tested path.
+included).
+
+Measured (2026-08-17, d256/4L, 10 epochs, page-level split): held-out
+PPL 3.5; untrained-model sanity PPL ~8050. The 3.5 is NOT comparable to
+the fairseq 29: CASIA-HWDB2.x pages are a small set of source documents
+copied by many writers, so held-out pages are textual near-duplicates of
+training pages — while fairseq trained on out-of-domain news. What the
+run validates is the pipeline: training converges, tokenizer eos-fill
+semantics and scoring are sound, and the model generalizes (dev PPL far
+below the untrained baseline, far above the memorized-train floor).
 
 Usage:
   python tools/lm_ppl_proxy.py [--corpus PATH] [--epochs 10]
