@@ -79,17 +79,10 @@ def main():
     # LM backend wiring mirrors `deploy.py:76-87` / `ctc_codec.py:101-122`.
     lm = None
     if args.method == "beam-search":
-        if args.use_tfm_pred or args.use_tfm_score:
-            from ..decode.lm_interface import JaxLMBackend
-            from ..lm.infer import LMScorer
-            from ..lm.io import load_lm
-            lm_model, lm_vars, tokenizer = load_lm(args.tfm_path)
-            lm = JaxLMBackend(LMScorer(lm_model, lm_vars, tokenizer))
-            lm.lm_model, lm.lm_params, lm.tokenizer = (
-                lm_model, lm_vars["params"], tokenizer)
-        elif args.kenlm_path:
-            from ..decode.lm_interface import KenLMBackend
-            lm = KenLMBackend(args.kenlm_path)
+        from ..decode.lm_interface import build_lm_backend
+        lm = build_lm_backend(
+            tfm_path=args.tfm_path, kenlm_path=args.kenlm_path,
+            use_tfm=args.use_tfm_pred or args.use_tfm_score)
 
     widths = tuple(int(w) for w in args.widths.split(","))
     log.info(f"Compiling serving executables for widths {widths} "

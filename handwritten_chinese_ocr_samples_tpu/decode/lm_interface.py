@@ -55,7 +55,14 @@ class KenLMBackend:
             self.model = kenlm.Model(model_path)
         except ImportError:
             from ..lm.arpa import ArpaLM
-            self.model = ArpaLM(model_path)
+            try:
+                self.model = ArpaLM(model_path)
+            except (UnicodeDecodeError, ValueError) as e:
+                raise ValueError(
+                    f"{model_path}: not a text ARPA file. Binary KenLM "
+                    "(.klm) models need the `kenlm` package, which is not "
+                    "installed — export the model as text ARPA instead."
+                ) from e
 
     def score_batch(self, texts: Sequence[str]) -> np.ndarray:
         out = np.zeros((len(texts),), dtype=np.float64)
@@ -71,14 +78,43 @@ class JaxLMBackend:
     """First-party JAX decoder-only char LM (replaces fairseq).
 
     Wraps ``lm.infer.LMScorer`` — batched, jitted ``score`` /
-    ``next_k_words`` on device.
+    ``next_k_words`` on device. The underlying model/params/tokenizer are
+    exposed so device-fused decoders (``beam_lm_device``) can build a
+    KV-cached runner from the same weights.
     """
 
     def __init__(self, scorer):
         self.scorer = scorer
+
+    @property
+    def lm_model(self):
+        return self.scorer.model
+
+    @property
+    def lm_params(self):
+        return self.scorer.variables["params"]
+
+    @property
+    def tokenizer(self):
+        return self.scorer.tokenizer
 
     def score_batch(self, texts: Sequence[str]) -> np.ndarray:
         return np.asarray(self.scorer.score(list(texts), char_based=True))
 
     def topk_next(self, texts: Sequence[str], k: int) -> List[List[str]]:
         return self.scorer.next_k_words(list(texts), k, char_based=True)
+
+
+def build_lm_backend(tfm_path: str = "", kenlm_path: str = "",
+                     use_tfm: bool = False):
+    """LM backend from CLI-style flags (`ctc_codec.py:101-122`), shared by
+    the eval driver and the deploy CLI. Returns None when no LM is
+    requested."""
+    if use_tfm and tfm_path:
+        from ..lm.infer import LMScorer
+        from ..lm.io import load_lm
+        lm_model, lm_vars, tokenizer = load_lm(tfm_path)
+        return JaxLMBackend(LMScorer(lm_model, lm_vars, tokenizer))
+    if kenlm_path:
+        return KenLMBackend(kenlm_path)
+    return None

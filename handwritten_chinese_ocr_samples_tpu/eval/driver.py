@@ -38,18 +38,11 @@ def build_beam_decoder(codec, args):
     """Wire up beam search from CLI flags (mirrors
     ``codec.set_beam_search``, `ctc_codec.py:101-122`)."""
     from ..decode.beam_host import BeamSearchConfig, BeamSearchDecoder
-    from ..decode.lm_interface import JaxLMBackend, KenLMBackend, NullLM
+    from ..decode.lm_interface import NullLM, build_lm_backend
 
-    lm = None
-    if args.use_tfm_pred or args.use_tfm_score:
-        from ..lm.infer import LMScorer
-        from ..lm.io import load_lm
-        lm_model, lm_vars, tokenizer = load_lm(args.tfm_path)
-        lm = JaxLMBackend(LMScorer(lm_model, lm_vars, tokenizer))
-        lm.lm_model, lm.lm_params, lm.tokenizer = (
-            lm_model, lm_vars["params"], tokenizer)
-    elif args.kenlm_path:
-        lm = KenLMBackend(args.kenlm_path)
+    lm = build_lm_backend(
+        tfm_path=args.tfm_path, kenlm_path=args.kenlm_path,
+        use_tfm=args.use_tfm_pred or args.use_tfm_score)
     cfg = BeamSearchConfig(
         beam_size=args.beam_size, search_depth=args.search_depth,
         lm_panelty=args.lm_panelty, len_bonus=args.len_bonus,

@@ -104,8 +104,13 @@ class ServingEngine:
         use_beam = decode_method == "beam-search"
         is_jax_lm = lm is not None and hasattr(lm, "lm_model")
         self._device_lm_beam = use_beam and use_lm_score and is_jax_lm
-        self._host_beam_mode = (use_beam and not self._device_lm_beam
-                                and (skip_search or use_lm_score))
+        # use_lm_pred without use_lm_score (`-utp` alone) must still route
+        # through a decoder that consults the LM — the host beam proposes
+        # LM candidates without scoring, like the eval driver
+        self._host_beam_mode = (
+            use_beam and not self._device_lm_beam
+            and (skip_search or use_lm_score
+                 or (use_lm_pred and lm is not None)))
         self._device_beam = (use_beam and not self._device_lm_beam
                              and not self._host_beam_mode)
 
@@ -181,14 +186,11 @@ class ServingEngine:
                                             unknown_id=unknown_id)
 
         self._infer = infer
-        h = model.img_height
-        var_shapes = jax.tree.map(
-            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), variables)
+        # eager AOT warmup for the declared shapes (the OpenVINO-IR
+        # analogue); other (batch, width) pairs compile lazily via _exe
         for b in batch_sizes:
             for w in self.widths:
-                shape = jax.ShapeDtypeStruct((b, h, w, 1), jnp.uint8)
-                self._compiled[(b, w)] = (
-                    jax.jit(infer).lower(var_shapes, shape).compile())
+                self._exe(b, w)
 
     def bucket_for(self, width: int) -> int:
         for w in self.widths:

@@ -157,13 +157,15 @@ class ExportedLMScorer:
 
     def __init__(self, lm_dir: str, tag: str = "lm"):
         import jax.numpy as jnp
-        import orbax.checkpoint as ocp
         from ..lm.tokenizer import Tokenizer
+        from ..utils.ckpt_io import restore_pytree_host
 
         with open(os.path.join(lm_dir, f"{tag}_meta.json")) as f:
             self.meta = json.load(f)
         self.tokenizer = Tokenizer(os.path.join(lm_dir, self.meta["dict"]))
-        self.variables = ocp.PyTreeCheckpointer().restore(
+        # host-array restore: the bundle loads regardless of the topology
+        # it was exported under (see utils.ckpt_io)
+        self.variables = restore_pytree_host(
             os.path.abspath(os.path.join(lm_dir, self.meta["weights"])))
         self._fns = {}
         for b in self.meta["batch_sizes"]:
@@ -203,7 +205,11 @@ class ExportedLMScorer:
         lse = logsumexp(logits, axis=-1)                 # (B, L)
         out = np.zeros((len(sentences),))
         for i, s in enumerate(sentences):
-            n = len(s)
+            # sentences longer than the largest exported bucket score their
+            # truncated prefix — the fixed-shape contract, exactly like the
+            # reference's OVIE path with its fixed (1, 64) token input
+            # (`export_onnx.py:70`, `transformer_infer.py:119-131`)
+            n = min(len(s), logits.shape[1] - 2)
             toks = self.tokenizer.tokenize([s], char_based=char_based,
                                            fixed_len=logits.shape[1])[0]
             for t in range(n):
@@ -216,7 +222,8 @@ class ExportedLMScorer:
         logits = self._logits(sentences, char_based)
         res = []
         for i, s in enumerate(sentences):
-            at = logits[i, len(s)]
+            # over-long prefixes predict from the last in-bucket position
+            at = logits[i, min(len(s), logits.shape[1] - 1)]
             idx = np.argsort(-at)[:k]
             res.append(self.tokenizer.decode(idx))
         return res

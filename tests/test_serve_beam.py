@@ -54,10 +54,8 @@ def jax_lm(setup):
                                  n_layers=2, n_heads=2, d_ff=64, max_len=256)
     lm_vars = lm_model.init({"params": jax.random.key(5)},
                             jnp.zeros((1, 8), jnp.int32), train=False)
-    lm = JaxLMBackend(LMScorer(lm_model, lm_vars, tokenizer))
-    lm.lm_model, lm.lm_params, lm.tokenizer = (
-        lm_model, lm_vars["params"], tokenizer)
-    return lm
+    # lm_model/lm_params/tokenizer are derived properties of the backend
+    return JaxLMBackend(LMScorer(lm_model, lm_vars, tokenizer))
 
 
 def _forward_logits(model, variables, x_u8):
@@ -187,3 +185,19 @@ def test_deploy_cli_dispatches_beam(setup, tmp_path):
     assert captured.get("decode_method") == "beam-search"
     assert captured.get("beam_size") == 4
     assert captured.get("search_depth") == 5
+
+
+def test_utp_only_routes_through_lm(setup, jax_lm):
+    """use_lm_pred WITHOUT use_lm_score must not silently fall into the
+    no-LM device beam: the LM proposes candidates via the host decoder
+    (reference `-utp` alone)."""
+    codec, model, variables, files = setup
+    engine = ServingEngine(
+        model, variables, codec, widths=(128,),
+        decode_method="beam-search", beam_size=3, search_depth=3,
+        lm=jax_lm, use_lm_pred=True, use_lm_score=False)
+    assert engine._host_beam is not None
+    assert not engine._device_beam
+    assert engine._host_beam.cfg.use_lm_pred
+    texts, _ = engine.infer_files(files[:1], iterations=1)
+    assert len(texts) == 1
