@@ -94,3 +94,37 @@ def test_lm_export_round_trip(tmp_path):
     got_k = exported.next_k_words(sents, 3, char_based=True)
     want_k = live.next_k_words(sents, 3, char_based=True)
     assert got_k == want_k
+
+
+def test_lm_export_overflow_truncates(tmp_path):
+    """Sentences at/beyond the largest exported length bucket score their
+    truncated prefix instead of indexing out of bounds (fixed-shape
+    contract, like the reference OVIE's (1, 64) input)."""
+    from handwritten_chinese_ocr_samples_tpu.lm.infer import LMScorer
+    from handwritten_chinese_ocr_samples_tpu.lm.model import CharTransformerLM
+    from handwritten_chinese_ocr_samples_tpu.lm.tokenizer import Tokenizer
+    from handwritten_chinese_ocr_samples_tpu.serve.export import (
+        ExportedLMScorer, export_lm,
+    )
+
+    tokenizer = Tokenizer.from_characters(CHARS)
+    model = CharTransformerLM(vocab_size=tokenizer.vocab_size, d_model=32,
+                              n_layers=2, n_heads=2, d_ff=64, max_len=64)
+    variables = model.init({"params": jax.random.key(7)},
+                           jnp.zeros((1, 8), jnp.int32), train=False)
+    live = LMScorer(model, variables, tokenizer)
+
+    export_lm(model, variables, tokenizer, str(tmp_path),
+              batch_sizes=(2,), lengths=(16,))
+    exported = ExportedLMScorer(str(tmp_path))
+
+    long = "abcdefgh" * 4                 # 32 chars > bucket L=16
+    trunc = long[:14]                     # L - 2 prefix the bucket holds
+    got = exported.score([long, "a"], char_based=True)
+    want = live.score([trunc, "a"], char_based=True)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    # no IndexError; decode may filter special tokens out of the top-k
+    # (same as the live scorer), so only the row count is exact
+    got_k = exported.next_k_words([long], 3, char_based=True)
+    assert len(got_k) == 1 and 1 <= len(got_k[0]) <= 3
