@@ -39,6 +39,13 @@ def _load() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(so)
     except OSError:
         return None
+    _LIB = _bind(lib)
+    return _LIB
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    """Declare the C ABI on a loaded libcbsdecoder handle (also used by the
+    rebuild-verification test to bind a freshly compiled library)."""
     c_i32p = ctypes.POINTER(ctypes.c_int32)
     lib.cbs_arpa_load.restype = ctypes.c_void_p
     lib.cbs_arpa_load.argtypes = [ctypes.c_char_p]
@@ -62,8 +69,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.cbs_decode.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
         ctypes.c_int, ctypes.c_int, c_i32p, ctypes.c_int]
-    _LIB = lib
-    return _LIB
+    return lib
 
 
 def native_available() -> bool:

@@ -1,73 +1,92 @@
-"""fairseq-dict character tokenizer (parity with `transformer_infer.py:172-221`).
+"""Character tokenizer over a fairseq-style dictionary.
 
-Dictionary file format: one ``<token> <count>`` per line; special symbols
-``<s> <pad> </s> <unk>`` occupy indices 0..3, dictionary tokens follow from 4.
-``tokenize`` prepends ``<s>`` and fills the tail (and all shorter rows) with
-``</s>`` — the reference found sos-prefix + eos-fill experimentally better
-(`transformer_infer.py:203-215`). ``decode`` drops indices <= 3.
+Behavioral contract (parity with the reference `transformer_infer.py:172-221`,
+locked by ``tests/test_lm.py::test_tokenizer_parity``):
+
+* vocabulary = four specials ``<s> <pad> </s> <unk>`` at ids 0-3 followed by
+  the dictionary entries in file order from id 4;
+* ``tokenize`` emits ``<s>`` + token ids, padding the tail — and every row
+  shorter than the widest — with ``</s>`` (the reference found sos-prefix +
+  eos-fill to work better than pad-fill for its LM);
+* when no fixed length is given, the row width derives from the *character*
+  length of the longest input string plus one — even in whitespace-token
+  mode, where that overshoots the token count (a reference quirk callers
+  rely on for shape stability);
+* ``decode`` yields only real vocabulary entries (ids 4+).
 """
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Iterable, List, Sequence
 
 import numpy as np
 
+_SPECIALS = ("<s>", "<pad>", "</s>", "<unk>")
+SOS, PAD, EOS, UNK = range(4)
+
+
+def _read_dict(path: str) -> Iterable[str]:
+    """Yield vocabulary entries from a ``<entry> <count>`` per-line file."""
+    with open(path, encoding="utf-8") as fh:
+        for lineno, raw in enumerate(fh, start=1):
+            parts = raw.rstrip("\n").rsplit(" ", 1)
+            if len(parts) != 2:
+                raise ValueError(
+                    f"{path}:{lineno}: malformed dictionary line {raw!r}")
+            yield parts[0]
+
 
 class Tokenizer:
+    """Maps characters (or whitespace tokens) to LM ids and back."""
+
+    sos_index = SOS
+    pad_index = PAD
+    eos_index = EOS
+    unk_index = UNK
+
     def __init__(self, dict_file: str):
-        self.indices = {}
-        self.symbols = ["<s>", "<pad>", "</s>", "<unk>"]
-        self.sos_index = 0
-        self.pad_index = 1
-        self.eos_index = 2
-        self.unk_index = 3
-        with open(dict_file, "r", encoding="utf-8") as f:
-            for line in f:
-                try:
-                    word, _count = line.rstrip().rsplit(" ", 1)
-                except ValueError:
-                    raise ValueError("Incorrect format, expected '<token> <cnt>'")
-                self.indices[word] = len(self.symbols)
-                self.symbols.append(word)
+        self._build(_read_dict(dict_file))
+
+    @classmethod
+    def from_characters(cls, characters: str) -> "Tokenizer":
+        """Build directly from a vocabulary string (fresh training runs)."""
+        self = cls.__new__(cls)
+        self._build(dict.fromkeys(characters))
+        return self
+
+    def _build(self, entries: Iterable[str]) -> None:
+        self.symbols: List[str] = list(_SPECIALS)
+        self.symbols.extend(entries)
+        self.indices = {sym: i for i, sym in enumerate(self.symbols)}
+        for sp in _SPECIALS:  # specials win any collision with entries
+            self.indices[sp] = self.symbols.index(sp)
 
     @property
     def vocab_size(self) -> int:
         return len(self.symbols)
 
-    @classmethod
-    def from_characters(cls, characters: str) -> "Tokenizer":
-        """Build without a dict file (fresh training runs)."""
-        self = cls.__new__(cls)
-        self.indices = {}
-        self.symbols = ["<s>", "<pad>", "</s>", "<unk>"]
-        self.sos_index, self.pad_index = 0, 1
-        self.eos_index, self.unk_index = 2, 3
-        for ch in characters:
-            if ch not in self.indices:
-                self.indices[ch] = len(self.symbols)
-                self.symbols.append(ch)
-        return self
-
     def save_dict(self, path: str) -> None:
-        with open(path, "w", encoding="utf-8") as f:
-            for sym in self.symbols[4:]:
-                f.write(f"{sym} 1\n")
+        """Write the non-special vocabulary back out in dict-file format."""
+        with open(path, "w", encoding="utf-8") as fh:
+            fh.writelines(f"{sym} 1\n" for sym in self.symbols[len(_SPECIALS):])
 
     def tokenize(self, sentences: Sequence[str], char_based: bool = False,
                  fixed_len: int = -1) -> np.ndarray:
-        list_of_chars = [list(s) if char_based else s.split()
-                         for s in sentences]
-        max_len = fixed_len if fixed_len > 0 else \
-            len(max(sentences, key=len)) + 1
-        ids = np.full((len(sentences), max_len), fill_value=self.eos_index,
-                      dtype=np.int64)
-        for i, chars in enumerate(list_of_chars):
-            ids[i, 0] = self.sos_index
-            n = min(len(chars), max_len - 1)
-            ids[i, 1: n + 1] = [
-                self.indices.get(c, self.unk_index) for c in chars[:n]]
-        return ids
+        """Sentences -> ``(len(sentences), L)`` int64 id matrix."""
+        if fixed_len > 0:
+            width = fixed_len
+        else:
+            width = max((len(s) for s in sentences), default=0) + 1
+        out = np.full((len(sentences), width), EOS, dtype=np.int64)
+        out[:, 0] = SOS
+        lookup = self.indices
+        for row, sent in zip(out, sentences):
+            toks = sent if char_based else sent.split()
+            ids = [lookup.get(t, UNK) for t in toks[: width - 1]]
+            row[1: 1 + len(ids)] = ids
+        return out
 
     def decode(self, tokens: Sequence[int]) -> List[str]:
-        return [self.symbols[int(x)] for x in tokens if int(x) > 3]
+        """Ids -> vocabulary entries, dropping all special ids."""
+        table = self.symbols
+        return [table[t] for t in map(int, tokens) if t >= len(_SPECIALS)]
