@@ -55,6 +55,13 @@ def build_argparser():
                       default=1.9)
     args.add_argument("-lb", "--len-bonus", dest="len_bonus", type=float,
                       default=5.7)
+    # device LM-fused search tuning (0 = auto-calibrate; decode/adaptive.py)
+    args.add_argument("-lc", "--lm-ctx", dest="lm_ctx", type=int, default=0)
+    args.add_argument("-g", "--lm-group", dest="lm_group", type=int,
+                      default=8)
+    args.add_argument("--seg-budget", dest="seg_budget", type=int, default=0)
+    args.add_argument("--run-max", dest="run_max", type=int, default=8)
+    args.add_argument("--lm-f32", dest="lm_f32", action="store_true")
     return parser
 
 
@@ -94,7 +101,10 @@ def main():
         lm_panelty=args.lm_panelty, len_bonus=args.len_bonus,
         lm=lm, use_lm_pred=args.use_tfm_pred,
         use_lm_score=args.use_tfm_score or bool(args.kenlm_path),
-        skip_search=args.skip_search)
+        skip_search=args.skip_search,
+        lm_ctx=args.lm_ctx, lm_group=args.lm_group,
+        seg_budget=args.seg_budget, run_max=args.run_max,
+        lm_f32=args.lm_f32)
 
     if os.path.isfile(args.input):
         files = [args.input]

@@ -65,6 +65,22 @@ def build_argparser():
                       default=0.8, help="LM penalty for sentence scoring")
     args.add_argument("-lb", "--len-bonus", dest="len_bonus", type=float,
                       default=4.8, help="length bonus for sentence scoring")
+    # device LM-fused search tuning (defaults = the tuned fast config;
+    # 0 = auto-calibrate from the data, see decode/adaptive.py)
+    args.add_argument("-lc", "--lm-ctx", dest="lm_ctx", type=int, default=0,
+                      help="LM KV-cache context length (0 = auto-size from "
+                           "the data and escalate on overflow)")
+    args.add_argument("-g", "--lm-group", dest="lm_group", type=int,
+                      default=8,
+                      help="batch group size for the device LM-fused "
+                           "skip-search (vmapped per group)")
+    args.add_argument("--seg-budget", dest="seg_budget", type=int, default=0,
+                      help="static max scanned segments per line in "
+                           "skip-search (0 = auto-size per batch)")
+    args.add_argument("--run-max", dest="run_max", type=int, default=8,
+                      help="max char-fast frames per compacted segment")
+    args.add_argument("--lm-f32", dest="lm_f32", action="store_true",
+                      help="run the fused LM in float32 (default bfloat16)")
     args.add_argument("-jw", "--workers", type=int, metavar="N", default=4,
                       help="number of data loading workers (benchmark mode)")
     args.add_argument("-tv", "--test-verbose", dest="test_verbose",

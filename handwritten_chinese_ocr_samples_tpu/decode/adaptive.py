@@ -1,0 +1,191 @@
+"""Data-calibrated driver for the device LM-fused beam search.
+
+``make_lm_beam_search`` is a static XLA program: LM context length, segment
+budget, and group size are compile-time constants. Picking them is a
+product-surface problem — the tuned configuration (group 8, ctx >= 144,
+segment budget sized from the data) is what makes the skip search fast
+(NOTES.md round-2 progression, 1.4 -> 10.55 lines/sec), but hardcoding any
+one value either truncates long lines or wastes compile-size on short ones.
+
+``AdaptiveLMBeam`` closes the loop on the host:
+
+* **LM context** auto-sizes from each batch's greedy character count,
+  rounded up to a platform-stable shape (ctx 128 and group 16 hit an XLA
+  codegen fault on v5e — `tools/repro_ctx128_crash.py`), and **escalates**
+  when the device reports a KV-cache overflow (`beam_lm_device` overflow
+  flag) — committed tokens can exceed the greedy estimate, and silently
+  dropping LM context is never acceptable. Explicitly pinned contexts
+  raise instead of escalating.
+* **Segment budget** auto-sizes from ``count_segments`` per batch and only
+  grows (rounded to multiples of 8 to bound recompiles). An explicitly
+  pinned budget that a batch exceeds raises instead of truncating.
+* **Group size** drops to the largest divisor of the batch that avoids the
+  known-faulty shape (16).
+
+One compiled program exists per (T, B, ctx, budget) tuple; the JAX
+persistent compilation cache makes rebuilds cheap across processes.
+
+Mirrors the role of the reference's per-call beam-search knobs
+(`ctc_codec.py:101-122`, `test.py:130-141`) with TPU-static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+# ctx shapes validated stable on v5e (128 faults; see NOTES.md round 2).
+STABLE_CTX = (144, 160, 192, 256, 320, 384, 448, 512)
+# margin between the greedy char count and the LM context: beams commit at
+# most a handful more chars than greedy on peaky posteriors, plus <s>.
+CTX_MARGIN = 24
+FAULTY_GROUPS = {16}
+
+
+def _greedy_char_counts(cand_idx: np.ndarray, *, unknown_id: int,
+                        blank_id: int = 0) -> np.ndarray:
+    """Per-line greedy (collapsed) character counts from top-1 candidates."""
+    arg = np.asarray(cand_idx)[:, :, 0]
+    prev = np.concatenate([np.full((arg.shape[0], 1), -1, arg.dtype),
+                           arg[:, :-1]], axis=1)
+    keep = (arg != blank_id) & (arg != unknown_id) & (arg != prev)
+    return keep.sum(axis=1)
+
+
+def pick_group_size(batch: int, requested: int) -> int:
+    """Largest divisor of ``batch`` that is <= ``requested`` and not a
+    known-faulty shape."""
+    g = max(1, min(requested, batch))
+    while g > 1 and (batch % g != 0 or g in FAULTY_GROUPS):
+        g -= 1
+    return g
+
+
+class AdaptiveLMBeam:
+    """Decode batches through the device LM-fused search with
+    auto-calibrated static knobs and overflow escalation.
+
+    ``lm_ctx=0`` / ``seg_budget=0`` mean auto (the product default);
+    explicit values are honored exactly and errors are raised instead of
+    silent truncation. ``skip_search=False`` disables the segment
+    machinery (full search; budgets unused, group fixed at the batch)."""
+
+    def __init__(self, clm, codec2lm, lm2codec, *, beam_size: int = 10,
+                 depth: int = 10, unknown_id: int, lm_panelty: float,
+                 len_bonus: float, use_lm_pred: bool = True,
+                 skip_search: bool = True, group_size: int = 8,
+                 lm_ctx: int = 0, seg_budget: int = 0, run_max: int = 8,
+                 verbose: bool = False):
+        self._clm = clm
+        self._c2l = codec2lm
+        self._l2c = lm2codec
+        self._kw = dict(beam_size=beam_size, depth=depth,
+                        unknown_id=unknown_id, lm_panelty=lm_panelty,
+                        len_bonus=len_bonus, use_lm_pred=use_lm_pred,
+                        run_max=run_max, return_overflow=True)
+        self.unknown_id = unknown_id
+        self.skip = bool(skip_search)
+        self.group_size = group_size
+        self.run_max = run_max
+        self._ctx_pinned = int(lm_ctx) > 0
+        self._budget_pinned = int(seg_budget) > 0
+        self._ctx = int(lm_ctx) if self._ctx_pinned else 0
+        self._budget = int(seg_budget) if self._budget_pinned else 0
+        self._max_ctx = int(clm.model.max_len)
+        self._fns = {}
+        self._verbose = verbose
+
+    # ------------------------------------------------------------ sizing
+    def _auto_ctx(self, chars_max: int) -> int:
+        need = chars_max + CTX_MARGIN
+        for c in STABLE_CTX:
+            if c >= need and c <= self._max_ctx:
+                return max(c, self._ctx)
+        if need <= self._max_ctx:
+            return self._max_ctx
+        raise ValueError(
+            f"line has ~{chars_max} greedy chars; LM max_len "
+            f"{self._max_ctx} cannot hold it — train/export the LM with a "
+            f"longer context")
+
+    def _escalated_ctx(self) -> int:
+        for c in STABLE_CTX:
+            if c > self._ctx and c <= self._max_ctx:
+                return c
+        raise RuntimeError(
+            f"LM KV cache overflowed even at ctx={self._ctx} (LM max_len "
+            f"{self._max_ctx}) — the decoded line exceeds the LM's trained "
+            f"context")
+
+    def _fn(self, T: int, B: int):
+        key = (T, B, self._ctx, self._budget)
+        fn = self._fns.get(key)
+        if fn is None:
+            from .beam_lm_device import make_lm_beam_search
+            if self.skip:
+                fn = make_lm_beam_search(
+                    self._clm, self._c2l, self._l2c, skip_search=True,
+                    lm_ctx=self._ctx, seg_budget=self._budget,
+                    group_size=pick_group_size(B, self.group_size),
+                    **self._kw)
+            else:
+                fn = make_lm_beam_search(
+                    self._clm, self._c2l, self._l2c, skip_search=False,
+                    lm_ctx=self._ctx, **self._kw)
+            self._fns[key] = fn
+            if self._verbose:
+                print(f"[lm-beam] compiled T={T} B={B} ctx={self._ctx}"
+                      + (f" seg_budget={self._budget} group="
+                         f"{pick_group_size(B, self.group_size)}"
+                         if self.skip else " (full search)"))
+        return fn
+
+    # ------------------------------------------------------------ decode
+    def decode(self, cand_vals, cand_idx, logits, logz,
+               blank_lp=None, n_above=None):
+        """Device arrays in, (prefixes, lengths) out (host-checked)."""
+        B, T = cand_vals.shape[:2]
+        ci_host = np.asarray(cand_idx)
+
+        chars_max = int(_greedy_char_counts(
+            ci_host, unknown_id=self.unknown_id).max()) if B else 0
+        if not self._ctx_pinned:
+            self._ctx = self._auto_ctx(chars_max)
+        elif chars_max + 2 > self._ctx:
+            raise RuntimeError(
+                f"lm_ctx={self._ctx} cannot hold a ~{chars_max}-char line; "
+                f"raise --lm-ctx or use 0 (auto)")
+
+        if self.skip:
+            from .beam_lm_device import count_segments
+            segs = count_segments(ci_host, np.asarray(n_above),
+                                  unknown_id=self.unknown_id,
+                                  run_max=self.run_max)
+            seg_max = int(segs.max()) if B else 0
+            if self._budget_pinned:
+                if seg_max > self._budget:
+                    raise RuntimeError(
+                        f"segment budget {self._budget} < data maximum "
+                        f"{seg_max}; raise --seg-budget or use 0 (auto)")
+            elif seg_max > self._budget:
+                self._budget = -(-max(seg_max + 4, 16) // 8) * 8
+
+        while True:
+            fn = self._fn(int(T), int(B))
+            if self.skip:
+                prefixes, lengths, ovf = fn(cand_vals, cand_idx, logits,
+                                            logz, blank_lp, n_above)
+            else:
+                prefixes, lengths, ovf = fn(cand_vals, cand_idx, logits,
+                                            logz)
+            if not bool(np.asarray(ovf).any()):
+                return prefixes, lengths
+            if self._ctx_pinned:
+                raise RuntimeError(
+                    f"LM KV cache overflowed at pinned lm_ctx={self._ctx}; "
+                    f"raise --lm-ctx or use 0 (auto)")
+            self._ctx = self._escalated_ctx()
+            if self._verbose:
+                print(f"[lm-beam] KV overflow -> escalating ctx to "
+                      f"{self._ctx} and re-decoding batch")

@@ -68,6 +68,7 @@ class LMBeamState(NamedTuple):
     prefix_score: jnp.ndarray  # (BM,) sum positional logP of prefix chars
     next_logp: jnp.ndarray     # (BM, V) logP of next token given prefix
     cache: LMCache             # per-beam KV cache
+    ovf: jnp.ndarray           # () bool: a KV write would exceed lm_ctx
 
 
 def _grouped_peek(clm: CachedLM, cache: LMCache, tokens: jnp.ndarray,
@@ -214,6 +215,7 @@ def make_lm_beam_search(
     group_size: int = 1,
     seg_budget: int | None = None,
     run_max: int = 8,
+    return_overflow: bool = False,
 ):
     """Build a jitted LM-fused beam search.
 
@@ -250,6 +252,11 @@ def make_lm_beam_search(
     statically caps scanned segments per line (None = kept budget, always
     enough); size it with ``count_segments`` — segments ~= ambiguous
     frames + char-fast runs longer than ``run_max``.
+
+    ``return_overflow=True`` appends a per-line bool to the outputs: True
+    when any beam's committed tokens would have written past ``lm_ctx``
+    (the write is dropped on device; the flag lets the host refuse to
+    silently decode with truncated LM context — see ``decode.adaptive``).
     """
     BM, K = beam_size, depth
     M = (lm_depth if lm_depth is not None else depth) if use_lm_pred else 0
@@ -300,6 +307,7 @@ def make_lm_beam_search(
             prefix_score=jnp.zeros((BM,), jnp.float32),
             next_logp=next_logp0,
             cache=cache,
+            ovf=jnp.zeros((), bool),
         )
 
         def full_step(state, t, active):
@@ -504,6 +512,8 @@ def make_lm_beam_search(
                                        state.prefix_score),
                 next_logp=new_next_logp,
                 cache=new_cache,
+                ovf=state.ovf | jnp.any(do_step
+                                        & (gathered.lengths >= lm_ctx)),
             )
             return new_state, ()
 
@@ -598,6 +608,7 @@ def make_lm_beam_search(
                 next_logp=jnp.where(n_com[:, None] > 0, last_lp[:, 0],
                                     state.next_logp),
                 cache=new_cache,
+                ovf=state.ovf | jnp.any(state.cache.lengths + n_com > lm_ctx),
             )
 
         if skip_search:
@@ -705,7 +716,10 @@ def make_lm_beam_search(
                 return full_step(state, t, t < end_step)
 
             state, _ = jax.lax.scan(step, state, jnp.arange(T))
-        return state.prefixes[0], state.lengths[0]
+        return state.prefixes[0], state.lengths[0], state.ovf
+
+    def _strip(out):
+        return out if return_overflow else out[:2]
 
     if skip_search:
         @jax.jit
@@ -715,19 +729,20 @@ def make_lm_beam_search(
             G = min(group_size, B)
             if G <= 1:
                 # ungrouped: lax.map keeps the fast/full cond a real branch
-                return jax.lax.map(lambda a: decode_one(*a), args)
+                return _strip(jax.lax.map(lambda a: decode_one(*a), args))
             if B % G != 0:
                 raise ValueError(f"batch {B} not divisible by group {G}")
             grouped = jax.tree.map(
                 lambda x: x.reshape((B // G, G) + x.shape[1:]), args)
-            prefixes, lengths = jax.lax.map(
+            prefixes, lengths, ovf = jax.lax.map(
                 lambda a: jax.vmap(decode_one)(*a), grouped)
-            return (prefixes.reshape(B, prefixes.shape[-1]),
-                    lengths.reshape(B))
+            return _strip((prefixes.reshape(B, prefixes.shape[-1]),
+                           lengths.reshape(B), ovf.reshape(B)))
     else:
         @jax.jit
         def run(cand_vals, cand_idx, logits, logz):
-            return jax.vmap(decode_one)(cand_vals, cand_idx, logits, logz)
+            return _strip(jax.vmap(decode_one)(
+                cand_vals, cand_idx, logits, logz))
 
     return run
 

@@ -127,21 +127,33 @@ class EvalSession:
         self._forward_beam = forward_beam
 
         if self.device_lm_beam:
-            from ..decode.beam_lm_device import (make_id_tables,
-                                                make_lm_beam_search)
+            from ..decode.adaptive import AdaptiveLMBeam
+            from ..decode.beam_lm_device import make_id_tables
             from ..lm.cached import CachedLM
             from ..ops.topk_logsoftmax import topk_logsoftmax
             lm = self.beam.lm
-            clm = CachedLM(lm.lm_model, lm.lm_params)
+            # bf16 LM compute/cache is the production default on TPU;
+            # `--lm-f32` opts out (parity debugging)
+            lm_dtype = (jnp.float32 if getattr(args, "lm_f32", False)
+                        else jnp.bfloat16)
+            clm = CachedLM(lm.lm_model, lm.lm_params, dtype=lm_dtype)
             c2l, l2c = make_id_tables(self.codec, lm.tokenizer)
             skip = bool(args.skip_search)
-            lm_fn = make_lm_beam_search(
+            if not skip:
+                print("note: full (non-skip) LM-fused beam search is "
+                      "~an order of magnitude slower than `-ss` "
+                      "(skip-search, the reference's fast path) at equal "
+                      "accuracy on peaky posteriors — consider adding -ss")
+            self._lm_adaptive = AdaptiveLMBeam(
                 clm, c2l, l2c, beam_size=beam_size, depth=depth,
                 unknown_id=unknown_id, lm_panelty=args.lm_panelty,
-                len_bonus=len_bonus,
-                lm_ctx=min(lm.lm_model.max_len, 300),
-                use_lm_pred=args.use_tfm_pred,
-                skip_search=skip)
+                len_bonus=len_bonus, use_lm_pred=args.use_tfm_pred,
+                skip_search=skip,
+                group_size=getattr(args, "lm_group", 8),
+                lm_ctx=getattr(args, "lm_ctx", 0),
+                seg_budget=getattr(args, "seg_budget", 0),
+                run_max=getattr(args, "run_max", 8),
+                verbose=True)
 
             @jax.jit
             def prep_lm_beam(variables, x):
@@ -151,14 +163,13 @@ class EvalSession:
                     logits.astype(jnp.float32), axis=-1)
                 return cv, ci, logits, logz, blank_lp, n_above
 
-            # two dispatches: lm_fn is itself jitted, and nesting it inside
-            # another jit trips pjit const handling
+            # two dispatches: the adaptive decoder jits separately, and
+            # nesting it inside another jit trips pjit const handling
             def forward_lm_beam(variables, x):
                 cv, ci, logits, logz, blank_lp, n_above = prep_lm_beam(
                     variables, x)
-                if skip:
-                    return lm_fn(cv, ci, logits, logz, blank_lp, n_above)
-                return lm_fn(cv, ci, logits, logz)
+                return self._lm_adaptive.decode(
+                    cv, ci, logits, logz, blank_lp, n_above)
 
             self._forward_lm_beam = forward_lm_beam
 

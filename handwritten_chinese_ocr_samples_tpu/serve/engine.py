@@ -82,11 +82,11 @@ class ServingEngine:
                  use_lm_pred: bool = False,
                  use_lm_score: bool = False,
                  skip_search: bool = False,
-                 lm_ctx: int = 300,
-                 lm_group: int = 1,
-                 kept_budget: int | None = None,
-                 seg_budget: int | None = None,
-                 run_max: int = 8):
+                 lm_ctx: int = 0,
+                 lm_group: int = 8,
+                 seg_budget: int = 0,
+                 run_max: int = 8,
+                 lm_f32: bool = False):
         import jax
         import jax.numpy as jnp
 
@@ -96,7 +96,6 @@ class ServingEngine:
         self.widths = sorted(widths)
         self.decode_method = decode_method
         self._compiled: Dict[Tuple[int, int], object] = {}
-        self._lm_fns: Dict[int, object] = {}
         self._jax = jax
         self._host_beam = None
 
@@ -119,21 +118,20 @@ class ServingEngine:
             return (x - 127.5) / 127.5  # `deploy.py:167`
 
         if self._device_lm_beam:
-            from ..decode.beam_lm_device import (make_id_tables,
-                                                 make_lm_beam_search)
+            from ..decode.adaptive import AdaptiveLMBeam
+            from ..decode.beam_lm_device import make_id_tables
             from ..lm.cached import CachedLM
             from ..ops.topk_logsoftmax import topk_logsoftmax
-            clm = CachedLM(lm.lm_model, lm.lm_params)
+            clm = CachedLM(lm.lm_model, lm.lm_params,
+                           dtype=jnp.float32 if lm_f32 else jnp.bfloat16)
             c2l, l2c = make_id_tables(codec, lm.tokenizer)
             self._skip = bool(skip_search)
-            self._lm_run = make_lm_beam_search(
+            self._lm_beam = AdaptiveLMBeam(
                 clm, c2l, l2c, beam_size=beam_size, depth=search_depth,
                 unknown_id=unknown_id, lm_panelty=lm_panelty,
-                len_bonus=len_bonus,
-                lm_ctx=min(lm.lm_model.max_len, lm_ctx),
-                use_lm_pred=use_lm_pred, skip_search=self._skip,
-                kept_budget=kept_budget, group_size=lm_group,
-                seg_budget=seg_budget, run_max=run_max)
+                len_bonus=len_bonus, use_lm_pred=use_lm_pred,
+                skip_search=self._skip, group_size=lm_group,
+                lm_ctx=lm_ctx, seg_budget=seg_budget, run_max=run_max)
 
             def infer(variables, x_u8):
                 logits = model.apply(variables, normalize(x_u8),
@@ -201,10 +199,7 @@ class ServingEngine:
     def _decode_outputs(self, outputs) -> List[str]:
         """Executable outputs -> texts, per decode routing."""
         if self._device_lm_beam:
-            if self._skip:
-                prefixes, lengths = self._lm_run(*outputs)
-            else:
-                prefixes, lengths = self._lm_run(*outputs[:4])
+            prefixes, lengths = self._lm_beam.decode(*outputs)
             return self.codec.compact_to_texts(prefixes, lengths)
         if self._host_beam is not None:
             logp = np.asarray(outputs)            # (B, T, D)

@@ -1,0 +1,138 @@
+"""KV-cache overflow guard + data-calibrated LM-beam driver.
+
+Covers VERDICT r2 items: the device search must not silently drop LM
+context when committed tokens reach ``lm_ctx`` (`beam_lm_device` overflow
+flag), and the product surface (``decode.adaptive.AdaptiveLMBeam``) must
+either escalate (auto mode) or raise (pinned knobs) — never truncate.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from handwritten_chinese_ocr_samples_tpu.decode import adaptive
+from handwritten_chinese_ocr_samples_tpu.decode.adaptive import (
+    AdaptiveLMBeam, pick_group_size,
+)
+from handwritten_chinese_ocr_samples_tpu.decode.beam_lm_device import (
+    make_lm_beam_search,
+)
+from handwritten_chinese_ocr_samples_tpu.ops.topk_logsoftmax import (
+    topk_logsoftmax_xla,
+)
+
+from tests.test_beam_skip_device import (  # noqa: F401
+    CHARS, PRUNE, _peaky_preds, setup,
+)
+
+
+def _dense_char_line(T, n_chars, seed=0):
+    """One line emitting ``n_chars`` confident characters (blank-separated)."""
+    rng = np.random.default_rng(seed)
+    D = len(CHARS) + 2
+    logits = rng.normal(size=(T, 1, D)) * 0.2
+    logits[:, 0, 0] += 12.0                       # default: confident blank
+    pos = np.linspace(1, T - 2, n_chars).astype(int)
+    for t in pos:
+        logits[t, 0, 0] -= 12.0
+        logits[t, 0, 1 + int(rng.integers(0, len(CHARS)))] += 12.0
+    return logits.astype(np.float32)
+
+
+def _prep(logits_tbd, K=6):
+    logits_btd = jnp.asarray(logits_tbd.transpose(1, 0, 2))
+    cv, ci, blank_lp, n_above = topk_logsoftmax_xla(logits_btd, k=K,
+                                                    prune=PRUNE)
+    logz = jax.scipy.special.logsumexp(
+        logits_btd.astype(jnp.float32), axis=-1)
+    return cv, ci, logits_btd, logz, blank_lp, n_above
+
+
+def test_overflow_flag_fires_at_small_ctx(setup):  # noqa: F811
+    codec, clm, scorer, c2l, l2c = setup
+    args = _prep(_dense_char_line(T=40, n_chars=12, seed=2))
+    out = {}
+    for ctx in (8, 64):
+        fn = make_lm_beam_search(
+            clm, c2l, l2c, beam_size=4, depth=6,
+            unknown_id=codec.unknown_id, lm_panelty=0.7, len_bonus=1.5,
+            lm_ctx=ctx, use_lm_pred=True, skip_search=True, prune=PRUNE,
+            return_overflow=True)
+        _, _, ovf = fn(*args)
+        out[ctx] = bool(np.asarray(ovf).any())
+    assert out[8] is True      # 12 chars + <s> cannot fit in 8 slots
+    assert out[64] is False
+
+
+def test_adaptive_pinned_ctx_too_small_raises(setup):  # noqa: F811
+    codec, clm, scorer, c2l, l2c = setup
+    beam = AdaptiveLMBeam(
+        clm, c2l, l2c, beam_size=4, depth=6, unknown_id=codec.unknown_id,
+        lm_panelty=0.7, len_bonus=1.5, skip_search=True, lm_ctx=8)
+    args = _prep(_dense_char_line(T=40, n_chars=12, seed=2))
+    with pytest.raises(RuntimeError, match="lm-ctx"):
+        beam.decode(*args)
+
+
+def test_adaptive_auto_escalates_on_overflow(setup, monkeypatch):  # noqa: F811
+    """Force the initial auto ctx to be exactly the greedy char count so the
+    <s> token overflows it; the driver must escalate and re-decode, landing
+    on the same transcription as a direct run at the big context."""
+    codec, clm, scorer, c2l, l2c = setup
+    monkeypatch.setattr(adaptive, "STABLE_CTX", (12, 64))
+    monkeypatch.setattr(adaptive, "CTX_MARGIN", 0)
+
+    args = _prep(_dense_char_line(T=40, n_chars=12, seed=5))
+    beam = AdaptiveLMBeam(
+        clm, c2l, l2c, beam_size=4, depth=6, unknown_id=codec.unknown_id,
+        lm_panelty=0.7, len_bonus=1.5, skip_search=True)
+    prefixes, lengths = beam.decode(*args)
+    got = codec.compact_to_texts(prefixes, lengths)
+    assert beam._ctx == 64   # escalated past the overflowing 12
+
+    fn = make_lm_beam_search(
+        clm, c2l, l2c, beam_size=4, depth=6, unknown_id=codec.unknown_id,
+        lm_panelty=0.7, len_bonus=1.5, lm_ctx=64, use_lm_pred=True,
+        skip_search=True, prune=PRUNE)
+    want = codec.compact_to_texts(*fn(*args))
+    assert got == want
+
+
+@pytest.mark.parametrize("skip", [True, False])
+def test_adaptive_auto_matches_direct(setup, skip):  # noqa: F811
+    codec, clm, scorer, c2l, l2c = setup
+    args = _prep(_peaky_preds(T=16, B=4, seed=3).astype(np.float32))
+    beam = AdaptiveLMBeam(
+        clm, c2l, l2c, beam_size=4, depth=6, unknown_id=codec.unknown_id,
+        lm_panelty=0.7, len_bonus=1.5, skip_search=skip)
+    prefixes, lengths = beam.decode(*args)
+    got = codec.compact_to_texts(prefixes, lengths)
+
+    fn = make_lm_beam_search(
+        clm, c2l, l2c, beam_size=4, depth=6, unknown_id=codec.unknown_id,
+        lm_panelty=0.7, len_bonus=1.5, lm_ctx=beam._ctx, use_lm_pred=True,
+        skip_search=skip, prune=PRUNE)
+    want = codec.compact_to_texts(*(fn(*args) if skip else fn(*args[:4])))
+    assert got == want
+
+
+def test_adaptive_pinned_seg_budget_too_small_raises(setup):  # noqa: F811
+    codec, clm, scorer, c2l, l2c = setup
+    args = _prep(_peaky_preds(T=16, B=2, seed=1).astype(np.float32))
+    beam = AdaptiveLMBeam(
+        clm, c2l, l2c, beam_size=4, depth=6, unknown_id=codec.unknown_id,
+        lm_panelty=0.7, len_bonus=1.5, skip_search=True, seg_budget=1)
+    with pytest.raises(RuntimeError, match="seg-budget"):
+        beam.decode(*args)
+
+
+def test_pick_group_size():
+    assert pick_group_size(32, 8) == 8
+    assert pick_group_size(32, 16) == 8     # 16 is a known-faulty shape
+    assert pick_group_size(32, 32) == 32
+    assert pick_group_size(4, 8) == 4
+    assert pick_group_size(6, 4) == 3       # largest divisor of 6 <= 4
+    assert pick_group_size(1, 8) == 1
+    assert pick_group_size(7, 4) == 1
