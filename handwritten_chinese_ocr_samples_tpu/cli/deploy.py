@@ -30,6 +30,11 @@ def build_argparser():
                       help="folder inputs: serve in width-bucketed batches "
                            "of this size (throughput mode; 1 = the "
                            "reference's per-image loop)")
+    args.add_argument("--daemon", action="store_true",
+                      help="serve the input folder through the continuous "
+                           "request-queue daemon (deadline batching)")
+    args.add_argument("--max-delay-ms", type=float, default=50.0,
+                      help="daemon mode: max per-request queueing latency")
     args.add_argument("-cl", "--chars-list", type=str, default=None,
                       help="chars_list.txt path")
     args.add_argument("-w", "--widths", type=str, default="512,1024,1600",
@@ -115,7 +120,23 @@ def main():
                  if f.lower().endswith((".png", ".jpg", ".jpeg", ".bmp"))]
         iters = 1
 
-    if args.batch_size > 1 and len(files) > 1:
+    if args.daemon:
+        import time
+        from concurrent.futures import ThreadPoolExecutor
+        from ..serve.daemon import ServingDaemon
+        bs = max(args.batch_size, 1)
+        with ServingDaemon(engine, batch_size=bs,
+                           max_delay_ms=args.max_delay_ms) as daemon, \
+                ThreadPoolExecutor(max_workers=8) as pool:
+            t0 = time.time()
+            futs = list(pool.map(daemon.submit, files))
+            texts = [f.result() for f in futs]
+            dt = time.time() - t0
+        for f, t in zip(files, texts):
+            log.info(f"Showing the prediction...\nfile:\t{f}\npred:\t{t}")
+        log.info(f"Daemon throughput: {len(files) / dt:.2f} lines/sec "
+                 f"(batch {bs}, deadline {args.max_delay_ms} ms)")
+    elif args.batch_size > 1 and len(files) > 1:
         texts, lps = engine.infer_files_batched(
             files, batch_size=args.batch_size)
         for f, t in zip(files, texts):
