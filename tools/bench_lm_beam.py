@@ -25,37 +25,6 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 NUM_CLASSES = 7375
 
 
-def synth_peaky_logits(B, T, D, seed=0, chars_per_1200=50,
-                       ambiguous_frac=0.04):
-    """Trained-model-like posteriors: confident everywhere (blank between
-    emissions, 1-2 confident frames per character) except an explicit
-    fraction of 2-way-ambiguous frames — the regime the reference's
-    skip-search exploits (`ctc_codec.py:124-181`)."""
-    rng = np.random.default_rng(seed)
-    logits = rng.normal(size=(B, T, D)).astype(np.float32) * 0.3
-    n_char_mean = max(4, chars_per_1200 * T // 1200)
-    for b in range(B):
-        boost = np.zeros(T, np.int64)            # class boosted per frame
-        n_char = int(rng.integers(n_char_mean * 4 // 5, n_char_mean * 6 // 5))
-        pos = np.sort(rng.choice(np.arange(2, T - 4, 3), n_char,
-                                 replace=False) +
-                      rng.integers(0, 2, n_char))
-        for t in pos:
-            c = int(rng.integers(1, D - 1))
-            for dt in range(int(rng.integers(1, 3))):
-                boost[t + dt] = c
-        for t in range(T):
-            logits[b, t, boost[t]] += 14.0       # blank (0) or the char
-        # ambiguous frames: two classes share the mass
-        amb_ts = rng.choice(np.where(boost == 0)[0],
-                            int(T * ambiguous_frac), replace=False)
-        for t in amb_ts:
-            ids = rng.choice(np.arange(D - 1), 2, replace=False)
-            logits[b, t, 0] -= 14.0
-            logits[b, t, ids] += 12.0
-    return logits
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
@@ -84,6 +53,8 @@ def main():
     from handwritten_chinese_ocr_samples_tpu.lm.tokenizer import Tokenizer
     from handwritten_chinese_ocr_samples_tpu.ops.topk_logsoftmax import (
         topk_logsoftmax)
+    from handwritten_chinese_ocr_samples_tpu.utils.posteriors import (
+        synth_peaky_logits)
 
     B, T, D = args.batch, args.width, NUM_CLASSES
     chars = "".join(chr(0x4E00 + i) for i in range(D - 2))
