@@ -17,7 +17,7 @@ one value either truncates long lines or wastes compile-size on short ones.
   dropping LM context is never acceptable. Explicitly pinned contexts
   raise instead of escalating.
 * **Segment budget** auto-sizes from ``count_segments`` per batch and only
-  grows (rounded to multiples of 8 to bound recompiles). An explicitly
+  grows (rounded to multiples of 4 to bound recompiles). An explicitly
   pinned budget that a batch exceeds raises instead of truncating.
 * **Group size** drops to the largest divisor of the batch that avoids the
   known-faulty shape (16).
@@ -44,13 +44,17 @@ FAULTY_GROUPS = {16}
 
 
 def _greedy_char_counts(cand_idx: np.ndarray, *, unknown_id: int,
-                        blank_id: int = 0) -> np.ndarray:
-    """Per-line greedy (collapsed) character counts from top-1 candidates."""
+                        blank_id: int = 0):
+    """Per-line greedy (collapsed) character counts and end-steps (last
+    greedy char + 4, `ctc_codec.py:198-199`) from top-1 candidates."""
     arg = np.asarray(cand_idx)[:, :, 0]
-    prev = np.concatenate([np.full((arg.shape[0], 1), -1, arg.dtype),
+    B, T = arg.shape
+    prev = np.concatenate([np.full((B, 1), -1, arg.dtype),
                            arg[:, :-1]], axis=1)
     keep = (arg != blank_id) & (arg != unknown_id) & (arg != prev)
-    return keep.sum(axis=1)
+    last = np.max(np.where(keep, np.arange(T)[None, :], -1), axis=1)
+    end = np.where(last >= 0, np.minimum(last + 4, T), 0)
+    return keep.sum(axis=1), end
 
 
 def pick_group_size(batch: int, requested: int) -> int:
@@ -93,6 +97,7 @@ class AdaptiveLMBeam:
         self._ctx = int(lm_ctx) if self._ctx_pinned else 0
         self._budget = int(seg_budget) if self._budget_pinned else 0
         self._max_ctx = int(clm.model.max_len)
+        self._fb = 0        # full search: static frame budget (grow-only)
         self._fns = {}
         self._verbose = verbose
 
@@ -119,26 +124,27 @@ class AdaptiveLMBeam:
             f"context")
 
     def _fn(self, T: int, B: int):
-        key = (T, B, self._ctx, self._budget)
+        key = (T, B, self._ctx, self._budget, self._fb)
         fn = self._fns.get(key)
         if fn is None:
             from .beam_lm_device import make_lm_beam_search
+            group = pick_group_size(B, self.group_size)
             if self.skip:
                 fn = make_lm_beam_search(
                     self._clm, self._c2l, self._l2c, skip_search=True,
                     lm_ctx=self._ctx, seg_budget=self._budget,
-                    group_size=pick_group_size(B, self.group_size),
-                    **self._kw)
+                    group_size=group, **self._kw)
             else:
                 fn = make_lm_beam_search(
                     self._clm, self._c2l, self._l2c, skip_search=False,
-                    lm_ctx=self._ctx, **self._kw)
+                    lm_ctx=self._ctx, group_size=group,
+                    frame_budget=self._fb or None, **self._kw)
             self._fns[key] = fn
             if self._verbose:
-                print(f"[lm-beam] compiled T={T} B={B} ctx={self._ctx}"
-                      + (f" seg_budget={self._budget} group="
-                         f"{pick_group_size(B, self.group_size)}"
-                         if self.skip else " (full search)"))
+                print(f"[lm-beam] compiled T={T} B={B} ctx={self._ctx} "
+                      f"group={group}"
+                      + (f" seg_budget={self._budget}" if self.skip
+                         else f" (full search, frame budget {self._fb})"))
         return fn
 
     # ------------------------------------------------------------ decode
@@ -148,8 +154,9 @@ class AdaptiveLMBeam:
         B, T = cand_vals.shape[:2]
         ci_host = np.asarray(cand_idx)
 
-        chars_max = int(_greedy_char_counts(
-            ci_host, unknown_id=self.unknown_id).max()) if B else 0
+        n_chars, end_steps = _greedy_char_counts(
+            ci_host, unknown_id=self.unknown_id)
+        chars_max = int(n_chars.max()) if B else 0
         if not self._ctx_pinned:
             self._ctx = self._auto_ctx(chars_max)
         elif chars_max + 2 > self._ctx:
@@ -169,7 +176,15 @@ class AdaptiveLMBeam:
                         f"segment budget {self._budget} < data maximum "
                         f"{seg_max}; raise --seg-budget or use 0 (auto)")
             elif seg_max > self._budget:
-                self._budget = -(-max(seg_max + 4, 16) // 8) * 8
+                # data max + 1, rounded to 4: round-2 profiling showed the
+                # scan length is a first-order cost (seg 52 vs 56 = +7%)
+                self._budget = -(-max(seg_max + 1, 16) // 4) * 4
+        else:
+            # full search scans frames; truncating at the batch max
+            # end_step is exact (frames past it are inactive no-ops)
+            end_max = int(end_steps.max()) if B else 0
+            if end_max > self._fb:
+                self._fb = min(-(-max(end_max, 32) // 32) * 32, int(T))
 
         while True:
             fn = self._fn(int(T), int(B))

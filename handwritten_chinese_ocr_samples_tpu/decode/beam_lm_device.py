@@ -215,6 +215,7 @@ def make_lm_beam_search(
     group_size: int = 1,
     seg_budget: int | None = None,
     run_max: int = 8,
+    frame_budget: int | None = None,
     return_overflow: bool = False,
 ):
     """Build a jitted LM-fused beam search.
@@ -257,6 +258,14 @@ def make_lm_beam_search(
     when any beam's committed tokens would have written past ``lm_ctx``
     (the write is dropped on device; the flag lets the host refuse to
     silently decode with truncated LM context — see ``decode.adaptive``).
+
+    ``frame_budget`` (full search only) statically truncates the frame
+    scan: frames at or beyond every line's ``end_step`` (last greedy char
+    + ``suffix_frames``, `ctc_codec.py:198-199`) are inactive no-ops, so a
+    budget >= the batch max end_step is EXACT while skipping the dead tail
+    of the width axis. ``group_size`` also applies to full search: G lines
+    vmap through one scan, ``lax.map`` over B/G groups — bounding live
+    KV-cache HBM to G x beam_size rows instead of B x beam_size.
     """
     BM, K = beam_size, depth
     M = (lm_depth if lm_depth is not None else depth) if use_lm_pred else 0
@@ -715,34 +724,37 @@ def make_lm_beam_search(
             def step(state, t):
                 return full_step(state, t, t < end_step)
 
-            state, _ = jax.lax.scan(step, state, jnp.arange(T))
+            FB = T if frame_budget is None else min(frame_budget, T)
+            state, _ = jax.lax.scan(step, state, jnp.arange(FB))
         return state.prefixes[0], state.lengths[0], state.ovf
 
     def _strip(out):
         return out if return_overflow else out[:2]
 
+    def _grouped(args):
+        B = args[0].shape[0]
+        G = min(group_size, B)
+        if G <= 1:
+            # ungrouped: lax.map keeps the fast/full cond a real branch
+            return _strip(jax.lax.map(lambda a: decode_one(*a), args))
+        if B % G != 0:
+            raise ValueError(f"batch {B} not divisible by group {G}")
+        grouped = jax.tree.map(
+            lambda x: x.reshape((B // G, G) + x.shape[1:]), args)
+        prefixes, lengths, ovf = jax.lax.map(
+            lambda a: jax.vmap(decode_one)(*a), grouped)
+        return _strip((prefixes.reshape(B, prefixes.shape[-1]),
+                       lengths.reshape(B), ovf.reshape(B)))
+
     if skip_search:
         @jax.jit
         def run(cand_vals, cand_idx, logits, logz, blank_lp, n_above):
-            args = (cand_vals, cand_idx, logits, logz, blank_lp, n_above)
-            B = cand_vals.shape[0]
-            G = min(group_size, B)
-            if G <= 1:
-                # ungrouped: lax.map keeps the fast/full cond a real branch
-                return _strip(jax.lax.map(lambda a: decode_one(*a), args))
-            if B % G != 0:
-                raise ValueError(f"batch {B} not divisible by group {G}")
-            grouped = jax.tree.map(
-                lambda x: x.reshape((B // G, G) + x.shape[1:]), args)
-            prefixes, lengths, ovf = jax.lax.map(
-                lambda a: jax.vmap(decode_one)(*a), grouped)
-            return _strip((prefixes.reshape(B, prefixes.shape[-1]),
-                           lengths.reshape(B), ovf.reshape(B)))
+            return _grouped((cand_vals, cand_idx, logits, logz,
+                             blank_lp, n_above))
     else:
         @jax.jit
         def run(cand_vals, cand_idx, logits, logz):
-            return _strip(jax.vmap(decode_one)(
-                cand_vals, cand_idx, logits, logz))
+            return _grouped((cand_vals, cand_idx, logits, logz))
 
     return run
 
@@ -777,7 +789,10 @@ def count_segments(cand_idx: jnp.ndarray, n_above: jnp.ndarray,
     """Per-line count of segments the segment-compacted skip-search scans
     (mirrors the device scheduler: a segment = a run of <= ``run_max``
     char-fast frames closed by <= 1 ambiguous frame) — use to size
-    ``seg_budget``. Host-side helper."""
+    ``seg_budget``. Host-side helper, vectorized (it runs per batch inside
+    ``decode.adaptive``): each maximal block of n consecutive char-fast
+    kept frames closed by an ambiguous frame costs max(ceil(n/run_max), 1)
+    segments; a trailing unclosed block costs ceil(n/run_max)."""
     cand_idx = np.asarray(cand_idx)
     n_above = np.asarray(n_above)
     B, T = n_above.shape
@@ -792,19 +807,10 @@ def count_segments(cand_idx: jnp.ndarray, n_above: jnp.ndarray,
         fast = n_above[b, :end] == 1
         sv = arg[:end]
         charfast = fast & (sv != blank_id) & (sv < unknown_id)
-        amb = ~fast
-        seg = pos = 0
-        trailing = False
-        for t in range(end):
-            if charfast[t]:
-                if pos >= run_max:
-                    seg += 1
-                    pos = 0
-                pos += 1
-                trailing = True
-            elif amb[t]:
-                seg += 1
-                pos = 0
-                trailing = False
-        out[b] = seg + (1 if trailing else 0)
+        kept_cf = charfast[~fast | charfast]     # cf mask in kept order
+        amb_pos = np.nonzero(~kept_cf)[0]
+        block = np.diff(np.concatenate([[-1], amb_pos])) - 1  # cf before amb
+        segs = int(np.maximum(np.ceil(block / run_max), 1).sum())
+        tail = kept_cf.size - (amb_pos[-1] + 1 if amb_pos.size else 0)
+        out[b] = segs + int(np.ceil(tail / run_max))
     return out

@@ -128,6 +128,49 @@ def test_adaptive_pinned_seg_budget_too_small_raises(setup):  # noqa: F811
         beam.decode(*args)
 
 
+def test_count_segments_matches_scheduler_simulation():
+    """The vectorized counter must equal a direct simulation of the device
+    segment scheduler (`beam_lm_device` sched scan) frame by frame."""
+    from handwritten_chinese_ocr_samples_tpu.decode.beam_lm_device import (
+        count_segments)
+    rng = np.random.default_rng(0)
+    D, unknown_id = 8, 7
+    for trial in range(30):
+        T = int(rng.integers(4, 60))
+        run_max = int(rng.integers(1, 5))
+        arg = rng.integers(0, D, (1, T))
+        n_above = np.where(rng.random((1, T)) < 0.7, 1,
+                           rng.integers(2, 5, (1, T)))
+        ci = np.zeros((1, T, 3), np.int64)
+        ci[:, :, 0] = arg
+
+        got = count_segments(ci, n_above, unknown_id=unknown_id,
+                             run_max=run_max)[0]
+
+        # direct simulation of the sched scan
+        prev = np.concatenate([[-1], arg[0, :-1]])
+        keep = (arg[0] != 0) & (arg[0] != unknown_id) & (arg[0] != prev)
+        end = min((int(np.max(np.where(keep, np.arange(T), -1))) + 4
+                   if keep.any() else 0), T)
+        seg = pos = 0
+        trailing = False
+        for t in range(end):
+            fast = n_above[0, t] == 1
+            cf = fast and arg[0, t] != 0 and arg[0, t] < unknown_id
+            if cf:
+                if pos >= run_max:
+                    seg += 1
+                    pos = 0
+                pos += 1
+                trailing = True
+            elif not fast:
+                seg += 1
+                pos = 0
+                trailing = False
+        want = seg + (1 if trailing else 0)
+        assert got == want, (trial, T, run_max)
+
+
 def test_pick_group_size():
     assert pick_group_size(32, 8) == 8
     assert pick_group_size(32, 16) == 8     # 16 is a known-faulty shape
