@@ -108,10 +108,17 @@ def _grouped_peek(clm: CachedLM, cache: LMCache, tokens: jnp.ndarray,
         next_logp[jnp.arange(BM)[:, None], tokens[:, :, 0]],
         0.0)                                                   # (BM, R)
 
-    # absolute positions: cache length + 0..S1-1
-    pos = cache.lengths[:, None, None] + jnp.arange(S1)[None, None, :]
-    h = clm._embed_token(tokens, pos)                          # (BM, R, S1, d)
-    s_ids = jnp.arange(S1)
+    # In peek mode the LAST position's entire forward is dead weight: its
+    # logits would score token S1 (which doesn't exist) and no later query
+    # attends its k/v — so the layers run on Sc = S1-1 positions (~20% of
+    # the peek FLOPs at S1=5). want_last mode needs every position.
+    Sc = S1 if (want_last or S1 == 1) else S1 - 1
+    tokens_c = tokens[:, :, :Sc]
+
+    # absolute positions: cache length + 0..Sc-1
+    pos = cache.lengths[:, None, None] + jnp.arange(Sc)[None, None, :]
+    h = clm._embed_token(tokens_c, pos)                        # (BM, R, Sc, d)
+    s_ids = jnp.arange(Sc)
     causal = s_ids[None, :] <= s_ids[:, None]  # key t visible to query s iff t<=s
     scale = float(np.sqrt(clm.d_head))
     # Cache-part attention via flash partials. Two equivalent backends:
@@ -132,7 +139,7 @@ def _grouped_peek(clm: CachedLM, cache: LMCache, tokens: jnp.ndarray,
     for li in range(clm.n_layers):
         lp = clm.p[f"layer{li}"]
         hn = clm._ln(h, lp["ln1"])
-        q = clm._proj(hn, lp["attn"]["query"])             # (BM, R, S1, H, Dh)
+        q = clm._proj(hn, lp["attn"]["query"])             # (BM, R, Sc, H, Dh)
         k = clm._proj(hn, lp["attn"]["key"])
         v = clm._proj(hn, lp["attn"]["value"])
         k0s.append(k if full_kv else k[:, :, 0])
@@ -140,12 +147,12 @@ def _grouped_peek(clm: CachedLM, cache: LMCache, tokens: jnp.ndarray,
         qs = (q / scale).astype(q.dtype)
         # cache part: every position sees the whole (valid) prefix
         o1, m1, l1 = cache_attn(
-            qs.reshape(BM, R * S1, clm.n_heads, clm.d_head),
+            qs.reshape(BM, R * Sc, clm.n_heads, clm.d_head),
             cache.k[li], cache.v[li], cache.lengths)
-        o1 = o1.reshape(BM, R, S1, clm.n_heads, clm.d_head)
-        m1 = m1.reshape(BM, R, S1, clm.n_heads)
-        l1 = l1.reshape(BM, R, S1, clm.n_heads)
-        # own-row causal part: S1 keys — a few KB, plain XLA
+        o1 = o1.reshape(BM, R, Sc, clm.n_heads, clm.d_head)
+        m1 = m1.reshape(BM, R, Sc, clm.n_heads)
+        l1 = l1.reshape(BM, R, Sc, clm.n_heads)
+        # own-row causal part: Sc keys — a few KB, plain XLA
         sc_own = jnp.einsum("brshk,brthk->brsht", qs, k,
                             preferred_element_type=jnp.float32)
         sc_own = jnp.where(causal[None, None, :, None, :], sc_own, NEG_INF)
@@ -178,11 +185,12 @@ def _grouped_peek(clm: CachedLM, cache: LMCache, tokens: jnp.ndarray,
         )[:, :, 0]                                          # (BM, R, V)
         return (total, logp[:, :, 0], jnp.stack(k0s), jnp.stack(v0s), last)
 
-    # peek mode: position S1-1's logits are never consumed (they would
-    # score token S1), and only position 0 needs a full log-softmax row —
-    # for s >= 1 the contribution is logit[token] - logsumexp(logits),
-    # which avoids materializing a second (BM, R, S1, V) f32 tensor.
-    logits = clm._logits(h[:, :, :-1] if S1 > 1 else h)  # (BM,R,S1-1,V)
+    # peek mode: h holds positions 0..Sc-1 = 0..S1-2 (the dead last
+    # position was never computed), and only position 0 needs a full
+    # log-softmax row — for s >= 1 the contribution is
+    # logit[token] - logsumexp(logits), which avoids materializing a
+    # second (BM, R, Sc, V) f32 tensor.
+    logits = clm._logits(h)                              # (BM,R,Sc,V)
     logp0 = jax.nn.log_softmax(logits[:, :, 0], axis=-1)    # (BM, R, V)
     if S1 > 1:
         lse = jax.scipy.special.logsumexp(logits, axis=-1)  # (BM,R,S1-1)
@@ -432,15 +440,19 @@ def make_lm_beam_search(
                 row_len.astype(jnp.float32) * len_bonus
 
             # ---- merge + select
-            # one fused multi-operand sort carries all payload columns
-            (kh1_s, kh2_s, pb_s, pnb_s, pt_s, par_s, chr_s, ext_i_s,
-             dead_i_s, slot_s) = jax.lax.sort(
-                (kh1, kh2, row_pb, row_pnb, row_pt, row_parent, row_char,
-                 row_is_ext.astype(jnp.int32), row_dead.astype(jnp.int32),
-                 slot),
-                num_keys=2)
-            ext_s = ext_i_s.astype(bool)
-            dead_s = dead_i_s.astype(bool)
+            # sort only (keys, row index); payloads follow by gather — the
+            # variadic 10-operand sort moved every column through the
+            # sorting network and profiled ~1 ms/step at beam shapes
+            kh1_s, kh2_s, order_s = jax.lax.sort(
+                (kh1, kh2, jnp.arange(n_rows, dtype=jnp.int32)), num_keys=2)
+            pb_s = row_pb[order_s]
+            pnb_s = row_pnb[order_s]
+            pt_s = row_pt[order_s]
+            par_s = row_parent[order_s]
+            chr_s = row_char[order_s]
+            ext_s = row_is_ext[order_s]
+            dead_s = row_dead[order_s]
+            slot_s = slot[order_s]
             seg_start = jnp.concatenate(
                 [jnp.array([True]),
                  (kh1_s[1:] != kh1_s[:-1]) | (kh2_s[1:] != kh2_s[:-1])])
@@ -484,23 +496,19 @@ def make_lm_beam_search(
             # so the cache passes through bit-identically — no full-cache
             # select (which would copy ~100s of MB per frame).
             reorder = jnp.where(active, sel_parent, jnp.arange(BM))
-            gathered = CachedLM.gather(state.cache, reorder)
             do_step = sel_do
             # The committed LM step is free: the peek already computed the
             # extension token's per-layer k/v and its next-token
-            # distribution — commit them by gather + masked write.
+            # distribution — commit them with the fused reorder + write
+            # (one-hot matmul + select epilogue, no scatter).
             k_sel = peek_k0[:, sel_parent, sel_slot]   # (layers, BM, H, Dh)
             v_sel = peek_v0[:, sel_parent, sel_slot]
-            wpos = jnp.where(do_step, gathered.lengths, lm_ctx)
-            b_idx = jnp.arange(BM)
-            new_cache = LMCache(
-                k=gathered.k.at[:, b_idx, wpos].set(
-                    k_sel.astype(clm.dtype), mode="drop"),
-                v=gathered.v.at[:, b_idx, wpos].set(
-                    v_sel.astype(clm.dtype), mode="drop"),
-                lengths=jnp.where(do_step, gathered.lengths + 1,
-                                  gathered.lengths),
-            )
+            glen = state.cache.lengths[reorder]
+            wpos = jnp.where(do_step, glen, lm_ctx)
+            new_cache = CachedLM.gather_write(
+                state.cache, reorder, k_sel.astype(clm.dtype),
+                v_sel.astype(clm.dtype), wpos)._replace(
+                    lengths=jnp.where(do_step, glen + 1, glen))
             new_next_logp = jnp.where(
                 do_step[:, None],
                 peek_logp0[sel_parent, sel_slot],
@@ -521,8 +529,7 @@ def make_lm_beam_search(
                                        state.prefix_score),
                 next_logp=new_next_logp,
                 cache=new_cache,
-                ovf=state.ovf | jnp.any(do_step
-                                        & (gathered.lengths >= lm_ctx)),
+                ovf=state.ovf | jnp.any(do_step & (glen >= lm_ctx)),
             )
             return new_state, ()
 
@@ -600,14 +607,26 @@ def make_lm_beam_search(
             total, _lp0, k_full, v_full, last_lp = _grouped_peek(
                 clm, state.cache, ctok[:, None, :], n_com[:, None],
                 state.next_logp, full_kv=True, want_last=True)
-            b_idx = jnp.arange(BM)
-            wpos = jnp.where(r_ids < n_com[:, None],
-                             state.cache.lengths[:, None] + r_ids, lm_ctx)
+            # Masked multi-token write without scatter: position t receives
+            # run token r iff t - lengths == r < n_com — a (BM, L, RM)
+            # one-hot contraction (RM tiny) with a select against the old
+            # cache, streaming-friendly on TPU where per-row dynamic
+            # scatter serializes.
+            L_ctx = state.cache.k.shape[2]
+            t_ids = jnp.arange(L_ctx)
+            roff = t_ids[None, :, None] - state.cache.lengths[:, None, None]
+            w_oh = ((roff == r_ids[:, None, :])
+                    & (r_ids[:, None, :] < n_com[:, None, None]))
+            w_any = jnp.any(w_oh, axis=2)                   # (BM, L)
+            sel_oh = w_oh.astype(clm.dtype)
+            k_run = jnp.einsum("btr,zbrhd->zbthd", sel_oh,
+                               k_full[:, :, 0].astype(clm.dtype))
+            v_run = jnp.einsum("btr,zbrhd->zbthd", sel_oh,
+                               v_full[:, :, 0].astype(clm.dtype))
+            m_any = w_any[None, :, :, None, None]
             new_cache = LMCache(
-                k=state.cache.k.at[:, b_idx[:, None], wpos].set(
-                    k_full[:, :, 0].astype(clm.dtype), mode="drop"),
-                v=state.cache.v.at[:, b_idx[:, None], wpos].set(
-                    v_full[:, :, 0].astype(clm.dtype), mode="drop"),
+                k=jnp.where(m_any, k_run, state.cache.k),
+                v=jnp.where(m_any, v_run, state.cache.v),
                 lengths=state.cache.lengths + n_com,
             )
             return LMBeamState(

@@ -87,6 +87,27 @@ class CachedLM:
         v = jnp.einsum("pb,lb...->lp...", sel, cache.v)
         return LMCache(k=k, v=v, lengths=cache.lengths[idx])
 
+    @staticmethod
+    def gather_write(cache: LMCache, idx: jnp.ndarray, k_new: jnp.ndarray,
+                     v_new: jnp.ndarray, wpos: jnp.ndarray) -> LMCache:
+        """Fused beam reorder + one-token-per-row masked write.
+
+        ``new.k[l, p, t] = k_new[l, p] if t == wpos[p] else
+        cache.k[l, idx[p], t]`` (``wpos[p] >= L`` writes nothing; lengths
+        are NOT updated — the caller owns them). The reorder lowers as a
+        one-hot matmul and the write as a select fused into its epilogue:
+        XLA's scatter lowering for per-row dynamic indices serializes and
+        profiled several times slower at beam shapes."""
+        B, L = cache.k.shape[1:3]
+        sel = (idx[:, None] == jnp.arange(B)[None, :]).astype(cache.k.dtype)
+        wmask = (jnp.arange(L)[None, :] == wpos[:, None])  # (B, L)
+        m = wmask[None, :, :, None, None]
+        k = jnp.where(m, k_new[:, :, None],
+                      jnp.einsum("pb,lb...->lp...", sel, cache.k))
+        v = jnp.where(m, v_new[:, :, None],
+                      jnp.einsum("pb,lb...->lp...", sel, cache.v))
+        return LMCache(k=k, v=v, lengths=cache.lengths[idx])
+
     # ------------------------------------------------------------- layers
     def _ln(self, x, p):
         x32 = x.astype(jnp.float32)

@@ -163,6 +163,12 @@ def main():
 
         def peek_body(c, cache, tokens, n_tokens):
             nl = c
+            # tokens must depend on the carry: with loop-invariant inputs
+            # XLA hoists the whole forward OUT of the scan and the timing
+            # collapses to the tiny carry-dependent slice. The where's
+            # predicate is data-dependent (never provably false) and its
+            # taken branch always equals `tokens`.
+            tokens = jnp.where(jnp.sum(nl) > NEGBIG, tokens, tokens + 1)
             tot, logp0, k0, v0 = _grouped_peek(clm, cache, tokens,
                                                n_tokens, nl)
             # fold FULL outputs back into the carry — consuming slices lets
@@ -171,7 +177,23 @@ def main():
                     + (jnp.sum(tot, axis=1) + jnp.sum(k0) + jnp.sum(v0)
                        )[:, None])
 
+        NEGBIG = -1e30
         t_peek_s = scanned(peek_body, next_logp, cache, tokens, n_tokens)
+
+        def run_peek_body(c, cache, run_tokens, run_n):
+            nl = c
+            run_tokens = jnp.where(jnp.sum(nl) > NEGBIG, run_tokens,
+                                   run_tokens + 1)
+            tot, lp0, kf, vf, last = _grouped_peek(
+                clm, cache, run_tokens, run_n, nl, full_kv=True,
+                want_last=True)
+            return (nl + last[:, 0] + (jnp.sum(tot) + jnp.sum(kf)
+                                       + jnp.sum(vf))[None, None])
+
+        run_tokens = jnp.asarray(rng.integers(4, V, (B, 1, 9)), jnp.int32)
+        run_n = jnp.full((B, 1), 9, jnp.int32)
+        t_run_s = scanned(run_peek_body, next_logp, cache, run_tokens,
+                          run_n)
 
         def logits_body(c):
             lp = jax.nn.log_softmax(clm._logits(c), axis=-1)
@@ -188,6 +210,12 @@ def main():
 
         t_gather_s = scanned(gather_body, cache, reorder, k_new)
 
+        def gather_fused_body(c, reorder, k_new):
+            g = CachedLM.gather_write(c, reorder, k_new, k_new, c.lengths)
+            return g._replace(lengths=c.lengths)
+
+        t_gatherf_s = scanned(gather_fused_body, cache, reorder, k_new)
+
         def sort_body(c):
             k1, k2, vv = c
             s1_, s2_, sv = jax.lax.sort((k1, k2, vv), num_keys=2)
@@ -203,8 +231,10 @@ def main():
 
         print(f"-- scanned x{N} (true device time/step) --")
         print(f"peek          : {t_peek_s * 1e3:8.2f} ms")
+        print(f"run peek(9tok): {t_run_s * 1e3:8.2f} ms")
         print(f"logits+lsm    : {t_logits_s * 1e3:8.2f} ms")
         print(f"cache gather  : {t_gather_s * 1e3:8.2f} ms")
+        print(f"gather fused  : {t_gatherf_s * 1e3:8.2f} ms")
         print(f"sort+topk     : {t_sort_s * 1e3:8.2f} ms")
 
     tok = B * R * S1
