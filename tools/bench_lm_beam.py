@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--depth", type=int, default=10)
     ap.add_argument("--seg-budget", type=int, default=96)
     ap.add_argument("--runmax", type=int, default=8)
+    ap.add_argument("--frame-budget", type=int, default=0,
+                    help="no-skip mode: static frame-scan truncation "
+                         "(0 = scan all T frames)")
     args = ap.parse_args()
 
     import jax
@@ -75,9 +78,10 @@ def main():
         unknown_id=codec.unknown_id, lm_panelty=0.8, len_bonus=4.8,
         lm_ctx=args.lm_ctx, use_lm_pred=True, skip_search=skip,
         kept_budget=args.budget if skip else None,
-        group_size=args.group if skip else 1,
+        group_size=args.group,
         seg_budget=args.seg_budget if skip else None,
-        run_max=args.runmax)
+        run_max=args.runmax,
+        frame_budget=None if skip else (args.frame_budget or None))
 
     print(f"synthesizing logits ({B}x{T}x{D})...", flush=True)
     logits_np = synth_peaky_logits(B, T, D)
