@@ -37,7 +37,24 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.dropout import dropout_recompute
+
 Dtype = Any
+
+
+class _Dropout(nn.Module):
+    """Recompute-in-backward dropout (``ops/dropout.py``): the keep-mask is
+    regenerated from the key in the VJP instead of stored — the model has 16
+    dropout sites over multi-GB activations and the saved-mask residual
+    traffic dominated the measured dropout cost (NOTES.md train profile)."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
+        if self.rate == 0.0 or deterministic:
+            return x
+        return dropout_recompute(x, self.make_rng("dropout"), self.rate)
 
 
 def _maxpool_h2(x: jnp.ndarray) -> jnp.ndarray:
@@ -102,7 +119,7 @@ class BasicBlock(nn.Module):
                                     dtype=self.dtype, name="down_bn")(residual)
         out = out + residual
         out = nn.relu(out)
-        out = nn.Dropout(self.drop_rate, deterministic=not train)(out)
+        out = _Dropout(self.drop_rate)(out, deterministic=not train)
         return out
 
 
@@ -163,8 +180,7 @@ class SEResNetBackbone(nn.Module):
                              name=f"bn{stage + 1}")(x)
             x = nn.relu(x)
             x = _maxpool_h2(x)
-            x = nn.Dropout(self.stage_drop[stage],
-                           deterministic=not train)(x)
+            x = _Dropout(self.stage_drop[stage])(x, deterministic=not train)
         return x
 
 
