@@ -21,6 +21,10 @@ one value either truncates long lines or wastes compile-size on short ones.
   pinned budget that a batch exceeds raises instead of truncating.
 * **Group size** drops to the largest divisor of the batch that avoids the
   known-faulty shape (16).
+* **Peek rows** (skip mode) auto-size from ``count_peek_rows`` per batch,
+  grow-only: the ambiguous-frame LM peek runs on the provable useful-row
+  bound instead of all ``depth + lm_depth`` candidates (exact; 14.65 ->
+  17.5 lines/sec at the production config, NOTES.md round 3).
 
 One compiled program exists per (T, B, ctx, budget) tuple; the JAX
 persistent compilation cache makes rebuilds cheap across processes.
@@ -98,6 +102,7 @@ class AdaptiveLMBeam:
         self._budget = int(seg_budget) if self._budget_pinned else 0
         self._max_ctx = int(clm.model.max_len)
         self._fb = 0        # full search: static frame budget (grow-only)
+        self._peek = 0      # skip search: peek-row budget (grow-only)
         self._fns = {}
         self._verbose = verbose
 
@@ -124,7 +129,7 @@ class AdaptiveLMBeam:
             f"context")
 
     def _fn(self, T: int, B: int):
-        key = (T, B, self._ctx, self._budget, self._fb)
+        key = (T, B, self._ctx, self._budget, self._fb, self._peek)
         fn = self._fns.get(key)
         if fn is None:
             from .beam_lm_device import make_lm_beam_search
@@ -133,7 +138,8 @@ class AdaptiveLMBeam:
                 fn = make_lm_beam_search(
                     self._clm, self._c2l, self._l2c, skip_search=True,
                     lm_ctx=self._ctx, seg_budget=self._budget,
-                    group_size=group, **self._kw)
+                    group_size=group, peek_rows=self._peek or None,
+                    **self._kw)
             else:
                 fn = make_lm_beam_search(
                     self._clm, self._c2l, self._l2c, skip_search=False,
@@ -143,7 +149,8 @@ class AdaptiveLMBeam:
             if self._verbose:
                 print(f"[lm-beam] compiled T={T} B={B} ctx={self._ctx} "
                       f"group={group}"
-                      + (f" seg_budget={self._budget}" if self.skip
+                      + (f" seg_budget={self._budget} "
+                         f"peek_rows={self._peek}" if self.skip
                          else f" (full search, frame budget {self._fb})"))
         return fn
 
@@ -165,10 +172,17 @@ class AdaptiveLMBeam:
                 f"raise --lm-ctx or use 0 (auto)")
 
         if self.skip:
-            from .beam_lm_device import count_segments
+            from .beam_lm_device import count_peek_rows, count_segments
             segs = count_segments(ci_host, np.asarray(n_above),
                                   unknown_id=self.unknown_id,
                                   run_max=self.run_max)
+            # peek-row compaction budget: exact upper bound from the
+            # batch's above-prune class counts (rounded to 4, grow-only)
+            pr = count_peek_rows(
+                np.asarray(n_above), depth=self._kw["depth"],
+                use_lm_pred=self._kw["use_lm_pred"])
+            if pr > self._peek:
+                self._peek = -(-pr // 4) * 4
             seg_max = int(segs.max()) if B else 0
             if self._budget_pinned:
                 if seg_max > self._budget:

@@ -224,6 +224,7 @@ def make_lm_beam_search(
     seg_budget: int | None = None,
     run_max: int = 8,
     frame_budget: int | None = None,
+    peek_rows: int | None = None,
     return_overflow: bool = False,
 ):
     """Build a jitted LM-fused beam search.
@@ -267,6 +268,16 @@ def make_lm_beam_search(
     (the write is dropped on device; the flag lets the host refuse to
     silently decode with truncated LM context — see ``decode.adaptive``).
 
+    ``peek_rows`` compacts the per-beam LM peek from ``1 + depth +
+    lm_depth`` rows to ``1 + peek_rows``: candidate rows that can never be
+    consumed — pruned-away visual classes (skip mode maps them to
+    ``unknown``, `ctc_codec.py:144`), blanks, unmapped LM proposals — are
+    sorted out of the peek table before the transformer runs. Merge rows,
+    hashes and sort order are untouched, so decodes are bit-identical;
+    only the peek table layout changes. EXACT when ``peek_rows >=
+    min(max(n_above), depth) + lm_depth`` (``count_peek_rows``) — the
+    useful-row count can never exceed that bound. None = no compaction.
+
     ``frame_budget`` (full search only) statically truncates the frame
     scan: frames at or beyond every line's ``end_step`` (last greedy char
     + ``suffix_frames``, `ctc_codec.py:198-199`) are inactive no-ops, so a
@@ -277,6 +288,7 @@ def make_lm_beam_search(
     """
     BM, K = beam_size, depth
     M = (lm_depth if lm_depth is not None else depth) if use_lm_pred else 0
+    P = K + M if peek_rows is None else max(1, min(peek_rows, K + M))
     S = suffix_frames
     S1 = S + 1
     sos = 0  # tokenizer.sos_index
@@ -408,7 +420,7 @@ def make_lm_beam_search(
             kh2 = jnp.where(row_dead, jnp.arange(n_rows, dtype=jnp.int32),
                             kh2)
 
-            # ---- LM scoring table: slot 0 = stay, 1..C = extensions
+            # ---- LM scoring table: slot 0 = stay, 1.. = extensions
             suf_lm = codec2lm_j[suffix_codec[t]]               # (S,)
             n_suf = suffix_valid[t]
             # stay rows: tokens = suffix only
@@ -419,20 +431,42 @@ def make_lm_beam_search(
             stay_n = jnp.broadcast_to(n_suf, (BM, 1))
             # ext rows: tokens = [c] + suffix
             ext_c = cj.reshape(BM, C)
+            if P < C:
+                # Peek-row compaction: only rows that can be consumed
+                # (non-blank, non-unknown — `a_ext`) need transformer
+                # scores. Sort the useful candidates to the front and run
+                # the peek on the first P slots; `slot_ext` remembers where
+                # each original candidate landed. Rows left out are exactly
+                # the never-consumed ones whenever P >= the useful-row
+                # bound (``count_peek_rows``); `peek_ovf` flags the
+                # alternative loudly instead of mis-scoring.
+                useful = (ext_c != blank_id) & (ext_c < unknown_id)
+                order = jnp.argsort(~useful, axis=1, stable=True)
+                comp_j = order[:, :P]                          # (BM, P)
+                ext_c_peek = jnp.take_along_axis(ext_c, comp_j, axis=1)
+                slot_ext = jnp.zeros((BM, C), jnp.int32).at[
+                    jnp.arange(BM)[:, None], comp_j].set(
+                        1 + jnp.arange(P, dtype=jnp.int32)[None, :])
+                peek_ovf = jnp.any(jnp.sum(useful, axis=1) > P)
+            else:
+                ext_c_peek = ext_c
+                slot_ext = 1 + jnp.broadcast_to(
+                    jnp.arange(C, dtype=jnp.int32), (BM, C))
+                peek_ovf = jnp.zeros((), bool)
             ext_tokens = jnp.concatenate(
-                [codec2lm_j[jnp.clip(ext_c, 0, unknown_id)][:, :, None],
-                 jnp.broadcast_to(suf_lm, (BM, C, S))], axis=2)
-            ext_n = jnp.broadcast_to(1 + n_suf, (BM, C))
+                [codec2lm_j[jnp.clip(ext_c_peek, 0, unknown_id)][:, :, None],
+                 jnp.broadcast_to(suf_lm, ext_c_peek.shape + (S,))], axis=2)
+            ext_n = jnp.broadcast_to(1 + n_suf, ext_c_peek.shape)
             peek_tokens = jnp.concatenate([stay_tokens, ext_tokens], axis=1)
-            peek_n = jnp.concatenate([stay_n, ext_n], axis=1)  # (BM, 1+C)
+            peek_n = jnp.concatenate([stay_n, ext_n], axis=1)  # (BM, 1+P)
             peek_scores, peek_logp0, peek_k0, peek_v0 = _grouped_peek(
                 clm, state.cache, peek_tokens, peek_n, state.next_logp)
             # pt per row = (parent_prefix_score + continuation) * panelty
             #              + len * bonus
             slot = jnp.where(
                 row_is_ext,
-                1 + jnp.concatenate([jnp.tile(jnp.arange(C), BM),
-                                     jnp.zeros((BM,), jnp.int32)]),
+                jnp.concatenate([slot_ext.reshape(-1),
+                                 jnp.zeros((BM,), jnp.int32)]),
                 0)
             row_lm = (state.prefix_score[row_parent]
                       + peek_scores[row_parent, slot])
@@ -529,7 +563,8 @@ def make_lm_beam_search(
                                        state.prefix_score),
                 next_logp=new_next_logp,
                 cache=new_cache,
-                ovf=state.ovf | jnp.any(do_step & (glen >= lm_ctx)),
+                ovf=state.ovf | jnp.any(do_step & (glen >= lm_ctx))
+                | peek_ovf,
             )
             return new_state, ()
 
@@ -833,3 +868,17 @@ def count_segments(cand_idx: jnp.ndarray, n_above: jnp.ndarray,
         tail = kept_cf.size - (amb_pos[-1] + 1 if amb_pos.size else 0)
         out[b] = segs + int(np.ceil(tail / run_max))
     return out
+
+
+def count_peek_rows(n_above: jnp.ndarray, *, depth: int = 10,
+                    lm_depth: int | None = None,
+                    use_lm_pred: bool = True) -> int:
+    """Safe ``peek_rows`` budget: per beam per frame, consumable peek rows
+    are at most the visual classes above the prune threshold (skip mode
+    maps the rest to unknown, `ctc_codec.py:144`) — capped at ``depth`` —
+    plus the ``lm_depth`` LM proposals. Blanks and unmapped proposals only
+    shrink the true count, so this bound can never truncate. Host-side,
+    sized from the batch's ``n_above`` (``ops.topk_logsoftmax``); compute
+    per batch and grow-only, like ``count_segments``."""
+    m = (lm_depth if lm_depth is not None else depth) if use_lm_pred else 0
+    return int(min(int(np.max(np.asarray(n_above))), depth) + m)

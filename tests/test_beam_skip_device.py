@@ -196,3 +196,71 @@ def test_skip_host_sanity_survivor_counts(setup):
     assert (n == 1).sum() > 8      # fast-path frames exist
     assert (n > 1).sum() > 2       # ambiguous frames exist
     assert (n <= 6).all()          # survivors fit in depth
+
+
+def test_skip_device_peek_rows_compaction_exact(setup):
+    """A peek-row budget from ``count_peek_rows`` decodes identically to
+    the uncompacted search (and to the host oracle), grouped or not; an
+    undersized budget reports overflow instead of silently mis-scoring."""
+    from handwritten_chinese_ocr_samples_tpu.decode.beam_lm_device import (
+        count_peek_rows,
+    )
+    codec, clm, scorer, c2l, l2c = setup
+    BM, K = 4, 6
+    cfg = BeamSearchConfig(beam_size=BM, search_depth=K, lm_panelty=0.7,
+                           len_bonus=1.5, use_lm_pred=True,
+                           use_lm_score=True, skip_search=True,
+                           prune_log_prob=PRUNE)
+    host = BeamSearchDecoder(codec, JaxLMBackend(scorer), cfg)
+
+    logits_tbd = _peaky_preds(T=24, B=4, seed=13)
+    want = host.decode(log_softmax(logits_tbd, axis=2), already_log=True)
+    logits_btd = jnp.asarray(logits_tbd.transpose(1, 0, 2))
+    cv, ci, blank_lp, n_above = topk_logsoftmax_xla(logits_btd, k=K,
+                                                    prune=PRUNE)
+    logz = jax.scipy.special.logsumexp(
+        logits_btd.astype(jnp.float32), axis=-1)
+
+    pr = count_peek_rows(n_above, depth=K, use_lm_pred=True)
+    assert pr < 2 * K      # compaction actually drops rows here
+
+    for group in (1, 2):
+        fn = make_lm_beam_search(
+            clm, c2l, l2c, beam_size=BM, depth=K,
+            unknown_id=codec.unknown_id, lm_panelty=0.7, len_bonus=1.5,
+            lm_ctx=64, use_lm_pred=True, skip_search=True, prune=PRUNE,
+            group_size=group, peek_rows=pr)
+        prefixes, lengths = fn(cv, ci, logits_btd, logz, blank_lp, n_above)
+        assert codec.compact_to_texts(prefixes, lengths) == want, group
+
+    # undersized budget: the overflow flag must fire
+    fn_small = make_lm_beam_search(
+        clm, c2l, l2c, beam_size=BM, depth=K,
+        unknown_id=codec.unknown_id, lm_panelty=0.7, len_bonus=1.5,
+        lm_ctx=64, use_lm_pred=True, skip_search=True, prune=PRUNE,
+        peek_rows=1, return_overflow=True)
+    _, _, ovf = fn_small(cv, ci, logits_btd, logz, blank_lp, n_above)
+    assert bool(np.asarray(ovf).any())
+
+
+def test_full_search_peek_rows_noop(setup):
+    """Full (non-skip) search has no pruned candidates: a peek budget of
+    K + M is a no-op and must decode identically to the default."""
+    codec, clm, scorer, c2l, l2c = setup
+    BM, K = 4, 6
+    logits_tbd = _peaky_preds(T=16, B=2, seed=5)
+    logits_btd = jnp.asarray(logits_tbd.transpose(1, 0, 2))
+    cv, ci, _, _ = topk_logsoftmax_xla(logits_btd, k=K, prune=PRUNE)
+    logz = jax.scipy.special.logsumexp(
+        logits_btd.astype(jnp.float32), axis=-1)
+
+    outs = []
+    for pr in (None, 2 * K):
+        fn = make_lm_beam_search(
+            clm, c2l, l2c, beam_size=BM, depth=K,
+            unknown_id=codec.unknown_id, lm_panelty=0.7, len_bonus=1.5,
+            lm_ctx=64, use_lm_pred=True, skip_search=False,
+            peek_rows=pr)
+        prefixes, lengths = fn(cv, ci, logits_btd, logz)
+        outs.append(codec.compact_to_texts(prefixes, lengths))
+    assert outs[0] == outs[1]

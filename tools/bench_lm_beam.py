@@ -43,13 +43,16 @@ def main():
     ap.add_argument("--frame-budget", type=int, default=0,
                     help="no-skip mode: static frame-scan truncation "
                          "(0 = scan all T frames)")
+    ap.add_argument("--peek-rows", type=int, default=-1,
+                    help="peek-row compaction budget (-1 = auto via "
+                         "count_peek_rows, 0 = off)")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
     from handwritten_chinese_ocr_samples_tpu.core.codec import CTCCodec
     from handwritten_chinese_ocr_samples_tpu.decode.beam_lm_device import (
-        count_kept_frames, count_segments, make_id_tables,
+        count_kept_frames, count_peek_rows, count_segments, make_id_tables,
         make_lm_beam_search)
     from handwritten_chinese_ocr_samples_tpu.lm.cached import CachedLM
     from handwritten_chinese_ocr_samples_tpu.lm.model import CharTransformerLM
@@ -73,15 +76,6 @@ def main():
     c2l, l2c = make_id_tables(codec, tokenizer)
 
     skip = not args.no_skip
-    fn = make_lm_beam_search(
-        clm, c2l, l2c, beam_size=args.beam, depth=args.depth,
-        unknown_id=codec.unknown_id, lm_panelty=0.8, len_bonus=4.8,
-        lm_ctx=args.lm_ctx, use_lm_pred=True, skip_search=skip,
-        kept_budget=args.budget if skip else None,
-        group_size=args.group,
-        seg_budget=args.seg_budget if skip else None,
-        run_max=args.runmax,
-        frame_budget=None if skip else (args.frame_budget or None))
 
     print(f"synthesizing logits ({B}x{T}x{D})...", flush=True)
     logits_np = synth_peaky_logits(B, T, D)
@@ -108,6 +102,23 @@ def main():
         print("WARNING: kept-frame budget overflow — results truncated")
     if skip and segs.max() > args.seg_budget:
         print("WARNING: segment budget overflow — results truncated")
+
+    if args.peek_rows < 0:
+        peek_rows = count_peek_rows(np.asarray(n_above), depth=args.depth,
+                                    use_lm_pred=True) if skip else None
+    else:
+        peek_rows = args.peek_rows or None
+    print(f"peek rows: {peek_rows} (of {2 * args.depth})")
+    fn = make_lm_beam_search(
+        clm, c2l, l2c, beam_size=args.beam, depth=args.depth,
+        unknown_id=codec.unknown_id, lm_panelty=0.8, len_bonus=4.8,
+        lm_ctx=args.lm_ctx, use_lm_pred=True, skip_search=skip,
+        kept_budget=args.budget if skip else None,
+        group_size=args.group,
+        seg_budget=args.seg_budget if skip else None,
+        run_max=args.runmax,
+        peek_rows=peek_rows,
+        frame_budget=None if skip else (args.frame_budget or None))
 
     def run_once():
         if skip:
