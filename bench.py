@@ -44,7 +44,7 @@ WIDTH = 1200
 HEIGHT = 128
 NUM_CLASSES = 7375
 ITERS_GREEDY = 20
-ITERS_LM = 3
+ITERS_LM = 6
 
 
 def _bench_greedy(jax, jnp, model, variables, codec, batches, dev):

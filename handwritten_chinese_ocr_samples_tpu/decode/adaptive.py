@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import numpy as np
 
 # ctx shapes validated stable on v5e (128 faults; see NOTES.md round 2).
@@ -45,20 +46,6 @@ STABLE_CTX = (144, 160, 192, 256, 320, 384, 448, 512)
 # most a handful more chars than greedy on peaky posteriors, plus <s>.
 CTX_MARGIN = 24
 FAULTY_GROUPS = {16}
-
-
-def _greedy_char_counts(cand_idx: np.ndarray, *, unknown_id: int,
-                        blank_id: int = 0):
-    """Per-line greedy (collapsed) character counts and end-steps (last
-    greedy char + 4, `ctc_codec.py:198-199`) from top-1 candidates."""
-    arg = np.asarray(cand_idx)[:, :, 0]
-    B, T = arg.shape
-    prev = np.concatenate([np.full((B, 1), -1, arg.dtype),
-                           arg[:, :-1]], axis=1)
-    keep = (arg != blank_id) & (arg != unknown_id) & (arg != prev)
-    last = np.max(np.where(keep, np.arange(T)[None, :], -1), axis=1)
-    end = np.where(last >= 0, np.minimum(last + 4, T), 0)
-    return keep.sum(axis=1), end
 
 
 def pick_group_size(batch: int, requested: int) -> int:
@@ -104,6 +91,7 @@ class AdaptiveLMBeam:
         self._fb = 0        # full search: static frame budget (grow-only)
         self._peek = 0      # skip search: peek-row budget (grow-only)
         self._fns = {}
+        self._stats = None  # lazy jitted device-side knob-sizing maxima
         self._verbose = verbose
 
     # ------------------------------------------------------------ sizing
@@ -159,11 +147,16 @@ class AdaptiveLMBeam:
                blank_lp=None, n_above=None):
         """Device arrays in, (prefixes, lengths) out (host-checked)."""
         B, T = cand_vals.shape[:2]
-        ci_host = np.asarray(cand_idx)
+        # Knob sizing reads four device-side scalars (make_count_stats)
+        # instead of fetching the (B, T, K) candidate tensor to the host
+        # (~1.5 MB / ~12 ms per batch at b32/w1200 over the tunnel).
+        if self._stats is None:
+            from .beam_lm_device import make_count_stats
+            self._stats = make_count_stats(
+                unknown_id=self.unknown_id, run_max=self.run_max)
+        chars_max, end_max, seg_max, na_max = (
+            int(x) for x in jax.device_get(self._stats(cand_idx, n_above)))
 
-        n_chars, end_steps = _greedy_char_counts(
-            ci_host, unknown_id=self.unknown_id)
-        chars_max = int(n_chars.max()) if B else 0
         if not self._ctx_pinned:
             self._ctx = self._auto_ctx(chars_max)
         elif chars_max + 2 > self._ctx:
@@ -172,18 +165,14 @@ class AdaptiveLMBeam:
                 f"raise --lm-ctx or use 0 (auto)")
 
         if self.skip:
-            from .beam_lm_device import count_peek_rows, count_segments
-            segs = count_segments(ci_host, np.asarray(n_above),
-                                  unknown_id=self.unknown_id,
-                                  run_max=self.run_max)
+            from .beam_lm_device import count_peek_rows
             # peek-row compaction budget: exact upper bound from the
             # batch's above-prune class counts (rounded to 4, grow-only)
             pr = count_peek_rows(
-                np.asarray(n_above), depth=self._kw["depth"],
+                np.asarray([na_max]), depth=self._kw["depth"],
                 use_lm_pred=self._kw["use_lm_pred"])
             if pr > self._peek:
                 self._peek = -(-pr // 4) * 4
-            seg_max = int(segs.max()) if B else 0
             if self._budget_pinned:
                 if seg_max > self._budget:
                     raise RuntimeError(
@@ -196,7 +185,6 @@ class AdaptiveLMBeam:
         else:
             # full search scans frames; truncating at the batch max
             # end_step is exact (frames past it are inactive no-ops)
-            end_max = int(end_steps.max()) if B else 0
             if end_max > self._fb:
                 self._fb = min(-(-max(end_max, 32) // 32) * 32, int(T))
 

@@ -882,3 +882,56 @@ def count_peek_rows(n_above: jnp.ndarray, *, depth: int = 10,
     per batch and grow-only, like ``count_segments``."""
     m = (lm_depth if lm_depth is not None else depth) if use_lm_pred else 0
     return int(min(int(np.max(np.asarray(n_above))), depth) + m)
+
+
+def make_count_stats(*, unknown_id: int, blank_id: int = 0,
+                     suffix_frames: int = 4, run_max: int = 8):
+    """Jitted device-side batch maxima for ``decode.adaptive``'s knob
+    sizing: (greedy chars, end step, segments, classes above prune).
+
+    Sizing from the host helpers ships the whole ``(B, T, K)`` candidate
+    tensor over the tunnel every batch (~1.5 MB, ~12 ms at b32/w1200);
+    this computes the same maxima on device and fetches four scalars.
+    Mirrors ``count_segments`` / ``count_peek_rows`` / the greedy-count
+    logic exactly (equivalence tested in tests/test_adaptive_lm.py)."""
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=())
+    def stats(cand_idx, n_above):
+        arg = cand_idx[:, :, 0]                            # (B, T)
+        B, T = arg.shape
+        if n_above is None:      # full search: no prune counts; every frame
+            n_above = jnp.ones((B, T), jnp.int32)  # "fast" (segs unused)
+        prev = jnp.concatenate(
+            [jnp.full((B, 1), -1, arg.dtype), arg[:, :-1]], axis=1)
+        keep = (arg != blank_id) & (arg != unknown_id) & (arg != prev)
+        n_chars = keep.sum(axis=1)
+        last = jnp.max(jnp.where(keep, jnp.arange(T)[None, :], -1), axis=1)
+        end = jnp.where(last >= 0,
+                        jnp.minimum(last + suffix_frames, T), 0)
+        in_range = jnp.arange(T)[None, :] < end[:, None]
+        fast = (n_above == 1) & in_range
+        amb = (n_above != 1) & in_range                    # ambiguous kept
+        charfast = fast & (arg != blank_id) & (arg < unknown_id)
+        # Segment count (device twin of ``count_segments``): char-fast
+        # frames belong to the block indexed by the number of ambiguous
+        # frames before them; each amb-closed block costs
+        # max(ceil(n/run_max), 1), the trailing open block ceil(n/run_max).
+        seg_id = jnp.cumsum(amb.astype(jnp.int32), axis=1) - amb
+        # bins 0..T hold char-fast counts per block (the trailing block's
+        # id can reach T when every in-range frame is ambiguous); T+1 is
+        # the discard bin for non-char-fast frames
+        cnt = jnp.zeros((B, T + 2), jnp.int32).at[
+            jnp.arange(B)[:, None],
+            jnp.where(charfast, seg_id, T + 1)].add(1, mode="drop")
+        n_amb = jnp.sum(amb, axis=1)
+        closed = jnp.arange(T)[None, :] < n_amb[:, None]
+        cf_cnt = cnt[:, :T]
+        cost = jnp.where(
+            closed, jnp.maximum(-(-cf_cnt // run_max), 1), 0)
+        trail = jnp.take_along_axis(cnt, n_amb[:, None], axis=1)[:, 0]
+        segs = cost.sum(axis=1) + -(-trail // run_max)
+        return (jnp.max(n_chars), jnp.max(end), jnp.max(segs),
+                jnp.max(n_above))
+
+    return stats

@@ -171,6 +171,47 @@ def test_count_segments_matches_scheduler_simulation():
         assert got == want, (trial, T, run_max)
 
 
+def test_count_stats_matches_host_helpers():
+    """The device-side knob-sizing maxima (``make_count_stats``) must equal
+    the host reference helpers on random batches, including all-ambiguous
+    and empty (all-blank) lines."""
+    from handwritten_chinese_ocr_samples_tpu.decode.beam_lm_device import (
+        count_segments, make_count_stats)
+    rng = np.random.default_rng(7)
+    D, unknown_id = 8, 7
+    for trial in range(12):
+        B = int(rng.integers(1, 5))
+        T = int(rng.integers(4, 60))
+        run_max = int(rng.integers(1, 5))
+        arg = rng.integers(0, D, (B, T))
+        if trial == 0:
+            arg[0] = 0                        # empty line: all blank
+        n_above = np.where(rng.random((B, T)) < 0.7, 1,
+                           rng.integers(2, 5, (B, T))).astype(np.int32)
+        if trial == 1:
+            n_above[:] = 3                    # every frame ambiguous
+        ci = np.zeros((B, T, 3), np.int64)
+        ci[:, :, 0] = arg
+
+        stats = make_count_stats(unknown_id=unknown_id, run_max=run_max)
+        got = [int(x) for x in stats(jnp.asarray(ci), jnp.asarray(n_above))]
+
+        prev = np.concatenate([np.full((B, 1), -1, arg.dtype),
+                               arg[:, :-1]], axis=1)
+        keep = (arg != 0) & (arg != unknown_id) & (arg != prev)
+        last = np.max(np.where(keep, np.arange(T)[None, :], -1), axis=1)
+        end = np.where(last >= 0, np.minimum(last + 4, T), 0)
+        segs = count_segments(ci, n_above, unknown_id=unknown_id,
+                              run_max=run_max)
+        want = [int(keep.sum(axis=1).max()), int(end.max()),
+                int(segs.max()), int(n_above.max())]
+        assert got == want, (trial, B, T, run_max, got, want)
+
+        # full-search mode passes n_above=None: chars/end must still match
+        got_none = [int(x) for x in stats(jnp.asarray(ci), None)]
+        assert got_none[:2] == want[:2]
+
+
 def test_pick_group_size():
     assert pick_group_size(32, 8) == 8
     assert pick_group_size(32, 16) == 8     # 16 is a known-faulty shape
