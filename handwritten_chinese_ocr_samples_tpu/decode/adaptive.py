@@ -88,6 +88,12 @@ class AdaptiveLMBeam:
         self._ctx = int(lm_ctx) if self._ctx_pinned else 0
         self._budget = int(seg_budget) if self._budget_pinned else 0
         self._max_ctx = int(clm.model.max_len)
+        if self._ctx_pinned and self._ctx > self._max_ctx:
+            raise ValueError(
+                f"lm_ctx={self._ctx} exceeds the LM's trained max_len "
+                f"{self._max_ctx} — positions past it would silently reuse "
+                f"the last positional embedding; lower --lm-ctx or use 0 "
+                f"(auto)")
         self._fb = 0        # full search: static frame budget (grow-only)
         self._peek = 0      # skip search: peek-row budget (grow-only)
         self._fns = {}
@@ -100,8 +106,11 @@ class AdaptiveLMBeam:
         for c in STABLE_CTX:
             if c >= need and c <= self._max_ctx:
                 return max(c, self._ctx)
-        if need <= self._max_ctx:
-            return self._max_ctx
+        # margin is best-effort: a line that fits max_len (chars + <s> +
+        # slack) must not be rejected just because chars + CTX_MARGIN
+        # overshoots it — overflow escalation still guards the tail case
+        if chars_max + 2 <= self._max_ctx:
+            return max(self._max_ctx, self._ctx)
         raise ValueError(
             f"line has ~{chars_max} greedy chars; LM max_len "
             f"{self._max_ctx} cannot hold it — train/export the LM with a "
@@ -111,6 +120,8 @@ class AdaptiveLMBeam:
         for c in STABLE_CTX:
             if c > self._ctx and c <= self._max_ctx:
                 return c
+        if self._max_ctx > self._ctx:   # past the last stable entry
+            return self._max_ctx
         raise RuntimeError(
             f"LM KV cache overflowed even at ctx={self._ctx} (LM max_len "
             f"{self._max_ctx}) — the decoded line exceeds the LM's trained "

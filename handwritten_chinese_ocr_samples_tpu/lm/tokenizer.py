@@ -29,7 +29,9 @@ def _read_dict(path: str) -> Iterable[str]:
     """Yield vocabulary entries from a ``<entry> <count>`` per-line file."""
     with open(path, encoding="utf-8") as fh:
         for lineno, raw in enumerate(fh, start=1):
-            parts = raw.rstrip("\n").rsplit(" ", 1)
+            # strip all trailing whitespace: "中 5 \n" must yield "中",
+            # not a "中 5" symbol (hand-edited dict files do this)
+            parts = raw.rstrip().rsplit(" ", 1)
             if len(parts) != 2:
                 raise ValueError(
                     f"{path}:{lineno}: malformed dictionary line {raw!r}")

@@ -54,6 +54,8 @@ class _Dropout(nn.Module):
     def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
         if self.rate == 0.0 or deterministic:
             return x
+        if self.rate >= 1.0:          # nn.Dropout semantics: drop everything
+            return jnp.zeros_like(x)
         return dropout_recompute(x, self.make_rng("dropout"), self.rate)
 
 

@@ -26,12 +26,7 @@ from typing import Deque, Dict, List, Tuple
 
 import numpy as np
 
-from .engine import ServingEngine, preprocess_fixed_shape
-
-try:
-    import cv2
-except ImportError:  # pragma: no cover
-    cv2 = None
+from .engine import ServingEngine
 
 
 class ServingDaemon:
@@ -58,15 +53,7 @@ class ServingDaemon:
     # ---------------------------------------------------------------- API
     def submit(self, image_file: str) -> "Future[str]":
         """Enqueue one image; resolves to its transcription."""
-        h = self.engine.model.img_height
-        src = cv2.imread(image_file)
-        if src is None:
-            raise FileNotFoundError(image_file)
-        if src.ndim == 3:
-            src = cv2.cvtColor(src, cv2.COLOR_BGR2GRAY)
-        true_w = int(h * src.shape[1] / src.shape[0])
-        w = self.engine.bucket_for(true_w)
-        x = preprocess_fixed_shape(image_file, h, w)
+        w, x = self.engine.preprocess_bucketed(image_file)
         fut: Future = Future()
         with self._lock:
             if self._closing:
@@ -93,22 +80,23 @@ class ServingDaemon:
 
     # ----------------------------------------------------------- internals
     def _pick_flush(self, now: float):
-        """Choose a bucket to flush: any full batch first, else the bucket
-        whose head request has exceeded its deadline."""
+        """Choose a bucket to flush. Deadline-expired heads win, oldest
+        first — a sustained stream of full batches in one bucket must not
+        starve a lone request in another past its latency bound. With no
+        expiry due, any full batch flushes."""
         full, expired = None, None
         oldest = None
         for w, q in self._queues.items():
             if not q:
                 continue
-            if len(q) >= self.batch_size:
-                full = w
-                break
             head_t = q[0][0]
             if oldest is None or head_t < oldest:
                 oldest = head_t
                 if now - head_t >= self.max_delay:
                     expired = w
-        return full if full is not None else expired, oldest
+            if full is None and len(q) >= self.batch_size:
+                full = w
+        return (expired if expired is not None else full), oldest
 
     def _serve_loop(self) -> None:
         while True:

@@ -26,14 +26,22 @@ except ImportError:  # pragma: no cover
     cv2 = None
 
 
-def preprocess_fixed_shape(image_file: str, height: int,
-                           width: int) -> np.ndarray:
-    """Image file -> (1, H, W, 1) uint8, reference-parity padding."""
+def _read_gray(image_file: str) -> np.ndarray:
     src = cv2.imread(image_file)
     if src is None:
         raise FileNotFoundError(image_file)
     if src.ndim == 3:
         src = cv2.cvtColor(src, cv2.COLOR_BGR2GRAY)
+    return src
+
+
+def preprocess_fixed_shape(image_file: str, height: int,
+                           width: int) -> np.ndarray:
+    """Image file -> (1, H, W, 1) uint8, reference-parity padding."""
+    return _pad_fixed_shape(_read_gray(image_file), height, width)
+
+
+def _pad_fixed_shape(src: np.ndarray, height: int, width: int) -> np.ndarray:
     h, w = src.shape
     if h != height:
         ratio = w / h
@@ -196,6 +204,16 @@ class ServingEngine:
                 return w
         return self.widths[-1]
 
+    def preprocess_bucketed(self, image_file: str):
+        """Read + decode the image ONCE: pick the width bucket from the
+        true (pre-pad) width, pad to it. Returns ``(bucket_width, array)``
+        — shared by ``infer_files`` and the serving daemon."""
+        h = self.model.img_height
+        src = _read_gray(image_file)
+        true_w = int(h * src.shape[1] / src.shape[0])
+        w = self.bucket_for(true_w)
+        return w, _pad_fixed_shape(src, h, w)
+
     def _decode_outputs(self, outputs) -> List[str]:
         """Executable outputs -> texts, per decode routing."""
         if self._device_lm_beam:
@@ -216,17 +234,8 @@ class ServingEngine:
 
         texts: List[str] = []
         times: List[float] = []
-        h = self.model.img_height
         for f in image_files:
-            # choose bucket by true (pre-pad) width
-            src = cv2.imread(f)
-            if src is None:
-                raise FileNotFoundError(f)
-            if src.ndim == 3:
-                src = cv2.cvtColor(src, cv2.COLOR_BGR2GRAY)
-            true_w = int(h * src.shape[1] / src.shape[0])
-            w = self.bucket_for(true_w)
-            x = preprocess_fixed_shape(f, h, w)
+            w, x = self.preprocess_bucketed(f)
             exe = self._exe(1, w)
             for _ in range(iterations):
                 t0 = time.time()

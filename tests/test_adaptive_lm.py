@@ -212,6 +212,40 @@ def test_count_stats_matches_host_helpers():
         assert got_none[:2] == want[:2]
 
 
+def _ctx_only_beam(max_len, **kw):
+    """AdaptiveLMBeam with a stub LM — enough for the ctx-sizing logic,
+    which only reads ``clm.model.max_len``."""
+    import types
+    clm = types.SimpleNamespace(model=types.SimpleNamespace(max_len=max_len))
+    return AdaptiveLMBeam(clm, None, None, unknown_id=9, lm_panelty=1.0,
+                          len_bonus=1.0, **kw)
+
+
+def test_pinned_ctx_above_max_len_rejected():
+    """lm_ctx past the LM's trained max_len would silently reuse the last
+    positional embedding — must raise at construction, not decode wrong."""
+    with pytest.raises(ValueError, match="max_len"):
+        _ctx_only_beam(512, lm_ctx=1024)
+
+
+def test_auto_ctx_falls_back_to_max_len():
+    beam = _ctx_only_beam(512)
+    # 495 + CTX_MARGIN(24) overshoots 512, but the line itself fits:
+    # auto mode must use max_len, not reject the input
+    assert beam._auto_ctx(495) == 512
+    with pytest.raises(ValueError):
+        beam._auto_ctx(511)                # 511 chars + <s> truly can't fit
+
+
+def test_escalated_ctx_reaches_max_len():
+    beam = _ctx_only_beam(600)
+    beam._ctx = 512                        # past the last STABLE_CTX entry
+    assert beam._escalated_ctx() == 600
+    beam._ctx = 600
+    with pytest.raises(RuntimeError):
+        beam._escalated_ctx()
+
+
 def test_pick_group_size():
     assert pick_group_size(32, 8) == 8
     assert pick_group_size(32, 16) == 8     # 16 is a known-faulty shape

@@ -78,3 +78,11 @@ def test_model_train_step_runs_and_is_deterministic():
     gleaf2 = jax.tree.leaves(g2)[0]
     np.testing.assert_array_equal(np.asarray(gleaf1), np.asarray(gleaf2))
     assert np.isfinite(np.asarray(l1))
+
+
+def test_rate_one_drops_everything():
+    """nn.Dropout semantics at rate=1.0: all zeros, no division by zero."""
+    from handwritten_chinese_ocr_samples_tpu.models.hctr import _Dropout
+    y = _Dropout(1.0).apply({}, jnp.ones((4, 8)), deterministic=False,
+                            rngs={"dropout": jax.random.key(0)})
+    assert np.all(np.asarray(y) == 0.0)

@@ -103,3 +103,17 @@ def test_lm_overfits_tiny_corpus():
     assert ppl < 4.0, ppl
     nxt = scorer.next_k_words(["天地人"], k=1, char_based=True)
     assert nxt[0][:1] == ["你"]
+
+
+def test_dict_file_trailing_whitespace():
+    """Trailing spaces/tabs on dictionary lines must not leak into symbols
+    (hand-edited dict files commonly carry them)."""
+    fd, path = tempfile.mkstemp(suffix=".txt")
+    with os.fdopen(fd, "w", encoding="utf-8") as f:
+        f.write("天 5 \n地 3\t\n人 1\n")
+    try:
+        tok = Tokenizer(path)
+    finally:
+        os.unlink(path)
+    assert tok.symbols[4:] == ["天", "地", "人"]
+    assert tok.tokenize(["天"], char_based=True)[0, 1] == 4

@@ -68,3 +68,22 @@ def test_close_drains_pending(setup, engine):  # noqa: F811
 
     with pytest.raises(RuntimeError):
         daemon.submit(files[0])
+
+
+def test_pick_flush_expired_beats_full():
+    """A sustained stream of full batches in one bucket must not starve a
+    deadline-expired request in another (max_delay_ms is a promise)."""
+    from collections import deque
+
+    d = ServingDaemon.__new__(ServingDaemon)
+    d.batch_size = 4
+    d.max_delay = 0.05
+    now = 100.0
+    full_q = deque((now, None, None) for _ in range(4))
+    d._queues = {512: full_q, 1600: deque([(now - 1.0, None, None)])}
+    w, oldest = d._pick_flush(now)
+    assert w == 1600
+    assert oldest == now - 1.0
+    # with no expiry due, the full bucket flushes
+    d._queues = {512: full_q, 1600: deque([(now, None, None)])}
+    assert d._pick_flush(now)[0] == 512
