@@ -71,7 +71,7 @@ class AdaptiveLMBeam:
                  len_bonus: float, use_lm_pred: bool = True,
                  skip_search: bool = True, group_size: int = 8,
                  lm_ctx: int = 0, seg_budget: int = 0, run_max: int = 8,
-                 verbose: bool = False):
+                 mesh=None, verbose: bool = False):
         self._clm = clm
         self._c2l = codec2lm
         self._l2c = lm2codec
@@ -98,6 +98,10 @@ class AdaptiveLMBeam:
         self._peek = 0      # skip search: peek-row budget (grow-only)
         self._fns = {}
         self._stats = None  # lazy jitted device-side knob-sizing maxima
+        # data-parallel decode: lines are independent, so with a mesh the
+        # batch shards over its ``data`` axis (parallel.mesh.shard_batched_fn)
+        self._mesh = mesh
+        self._ndata = int(mesh.shape["data"]) if mesh is not None else 1
         self._verbose = verbose
 
     # ------------------------------------------------------------ sizing
@@ -132,7 +136,12 @@ class AdaptiveLMBeam:
         fn = self._fns.get(key)
         if fn is None:
             from .beam_lm_device import make_lm_beam_search
-            group = pick_group_size(B, self.group_size)
+            if B % self._ndata != 0:
+                raise ValueError(
+                    f"batch {B} not divisible by the mesh data axis "
+                    f"({self._ndata}) — pad the batch or drop the mesh")
+            # groups form within each device's local shard
+            group = pick_group_size(B // self._ndata, self.group_size)
             if self.skip:
                 fn = make_lm_beam_search(
                     self._clm, self._c2l, self._l2c, skip_search=True,
@@ -144,13 +153,18 @@ class AdaptiveLMBeam:
                     self._clm, self._c2l, self._l2c, skip_search=False,
                     lm_ctx=self._ctx, group_size=group,
                     frame_budget=self._fb or None, **self._kw)
+            if self._mesh is not None:
+                from ..parallel.mesh import shard_batched_fn
+                fn = shard_batched_fn(fn, self._mesh)
             self._fns[key] = fn
             if self._verbose:
                 print(f"[lm-beam] compiled T={T} B={B} ctx={self._ctx} "
                       f"group={group}"
                       + (f" seg_budget={self._budget} "
                          f"peek_rows={self._peek}" if self.skip
-                         else f" (full search, frame budget {self._fb})"))
+                         else f" (full search, frame budget {self._fb})")
+                      + (f" data-sharded x{self._ndata}"
+                         if self._mesh is not None else ""))
         return fn
 
     # ------------------------------------------------------------ decode

@@ -77,6 +77,36 @@ def width_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data", None, "model", None))
 
 
+def shard_batched_fn(fn, mesh: Mesh):
+    """Data-parallel wrapper for an embarrassingly batch-parallel function:
+    every argument and result is batch-leading and rows are independent, so
+    each device runs the per-shard program on its local rows — zero
+    collectives.
+
+    Exists for the device beam searches: their sequential ``lax.scan`` /
+    ``lax.map``-over-groups structure cannot be partitioned by GSPMD from
+    sharding annotations alone (a scan axis never shards), but the batch
+    axis can — ``shard_map`` over ``data`` turns one decode program into
+    ``data``-many independent ones. This is the serving/eval scaling story
+    for the reference's bottleneck path (`ctc_codec.py:183-285`): its DDP
+    covers training only, inference is single-process.
+    """
+    try:
+        from jax import shard_map as _shard_map  # jax >= 0.4.35 spelling
+
+        def _smap(f):
+            return _shard_map(f, mesh=mesh, in_specs=P("data"),
+                              out_specs=P("data"), check_vma=False)
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map as _shard_map
+
+        def _smap(f):
+            return _shard_map(f, mesh=mesh, in_specs=P("data"),
+                              out_specs=P("data"), check_rep=False)
+
+    return jax.jit(_smap(lambda *args: fn(*args)))
+
+
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
     """Place a host batch dict onto the mesh, batch-axis sharded."""
     sharding = batch_sharding(mesh)
