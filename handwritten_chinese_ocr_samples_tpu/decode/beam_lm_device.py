@@ -139,9 +139,7 @@ def _grouped_peek(clm: CachedLM, cache: LMCache, tokens: jnp.ndarray,
     for li in range(clm.n_layers):
         lp = clm.p[f"layer{li}"]
         hn = clm._ln(h, lp["ln1"])
-        q = clm._proj(hn, lp["attn"]["query"])             # (BM, R, Sc, H, Dh)
-        k = clm._proj(hn, lp["attn"]["key"])
-        v = clm._proj(hn, lp["attn"]["value"])
+        q, k, v = clm._qkv_proj(hn, li)                    # (BM, R, Sc, H, Dh)
         k0s.append(k if full_kv else k[:, :, 0])
         v0s.append(v if full_kv else v[:, :, 0])
         qs = (q / scale).astype(q.dtype)

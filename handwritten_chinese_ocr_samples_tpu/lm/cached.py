@@ -56,6 +56,18 @@ class CachedLM:
             lambda a: jnp.asarray(a, self.dtype)
             if a.dtype == jnp.float32 else jnp.asarray(a), params)
         self.p = params
+        # fused QKV kernels: the decode peeks are dispatch-overhead-bound
+        # at beam shapes (NOTES.md per-step profile), so the three
+        # (d -> H, Dh) projections run as ONE einsum over a stacked
+        # (d, 3, H, Dh) kernel (same contraction, one MXU dispatch)
+        self._qkv = []
+        for li in range(self.n_layers):
+            a = params[f"layer{li}"]["attn"]
+            self._qkv.append((
+                jnp.stack([a["query"]["kernel"], a["key"]["kernel"],
+                           a["value"]["kernel"]], axis=1),
+                jnp.stack([a["query"]["bias"], a["key"]["bias"],
+                           a["value"]["bias"]], axis=0)))
 
     # ------------------------------------------------------------ plumbing
     def init_cache(self, B: int, max_len: int) -> LMCache:
@@ -120,6 +132,11 @@ class CachedLM:
 
     def _proj(self, x, p):  # flax DenseGeneral (..., d_model) -> (..., H, Dh)
         return jnp.einsum("...d,dhk->...hk", x, p["kernel"]) + p["bias"]
+
+    def _qkv_proj(self, x, li):  # (..., d) -> 3 x (..., H, Dh), one dispatch
+        kern, bias = self._qkv[li]
+        out = jnp.einsum("...d,dchk->...chk", x, kern) + bias
+        return out[..., 0, :, :], out[..., 1, :, :], out[..., 2, :, :]
 
     def _attn_out(self, x, p):  # (..., H, Dh) -> (..., d_model)
         return jnp.einsum("...hk,hkd->...d", x, p["kernel"]) + p["bias"]
@@ -188,20 +205,33 @@ class CachedLM:
         wpos = jnp.where(write_mask, pos, Lmax)
         new_k = cache.k
         new_v = cache.v
+        # attention context: committed prefix plus (only where written)
+        # the current token
+        ctx_mask = jnp.where(write_mask[:, None],
+                             pos_ids <= pos[:, None],
+                             pos_ids < pos[:, None])
         for li in range(self.n_layers):
-            k_t, v_t = self._kv(li, x)                         # (B, H, Dh)
+            lp = self.p[f"layer{li}"]
+            hn = self._ln(x, lp["ln1"])
+            q, k_t, v_t = self._qkv_proj(hn, li)               # (B, H, Dh)
             k_li = cache.k[li].at[b_idx, wpos].set(
                 k_t.astype(self.dtype), mode="drop")
             v_li = cache.v[li].at[b_idx, wpos].set(
                 v_t.astype(self.dtype), mode="drop")
             new_k = new_k.at[li].set(k_li)
             new_v = new_v.at[li].set(v_li)
-            # attention context: committed prefix plus (only where written)
-            # the current token
-            ctx_mask = jnp.where(write_mask[:, None],
-                                 pos_ids <= pos[:, None],
-                                 pos_ids < pos[:, None])
-            x = self._block(li, x, k_li, v_li, ctx_mask)
+            scores = jnp.einsum("bhk,blhk->bhl", q, k_li,
+                                preferred_element_type=jnp.float32)
+            scores = scores / np.sqrt(self.d_head)
+            scores = jnp.where(ctx_mask[:, None, :], scores, NEG)
+            w = jax.nn.softmax(scores, axis=-1).astype(v_li.dtype)
+            o = jnp.einsum("bhl,blhk->bhk", w, v_li)
+            x = x + self._attn_out(o, lp["attn"]["out"])
+            h2 = self._ln(x, lp["ln2"])
+            h2 = h2 @ lp["ff1"]["kernel"] + lp["ff1"]["bias"]
+            h2 = jax.nn.relu(h2)
+            h2 = h2 @ lp["ff2"]["kernel"] + lp["ff2"]["bias"]
+            x = x + h2
 
         logits = self._logits(x)
         new_lengths = jnp.where(write_mask, cache.lengths + 1, cache.lengths)
