@@ -169,32 +169,60 @@ def _grouped_peek(clm: CachedLM, cache: LMCache, tokens: jnp.ndarray,
         h = h + hn
 
     if want_last:
-        # run-commit mode (small R): full positional log-probs needed
-        logp = jax.nn.log_softmax(clm._logits(h), axis=-1)  # (BM,R,S1,V)
+        # run-commit mode (small R): full log-prob rows are consumed only
+        # at position 0 (contract: the distribution after prefix+token0)
+        # and at each row's LAST valid position (the committed beam's new
+        # next_logp) — materialize exactly those two (BM, R, 2, V) rows;
+        # the in-between positions stream (target, LSE) like peek mode
+        # instead of a (BM, R, S1, V) f32 log-softmax.
+        from ..ops.logits_lse import target_lse as _target_lse
+
+        emb_w = clm.p["embed"]["embedding"]
+        xs = clm._ln(h, clm.p["ln_f"])                      # (BM,R,S1,d)
+        x_last = jnp.take_along_axis(
+            xs, jnp.clip(n_tokens - 1, 0)[:, :, None, None],
+            axis=2)[:, :, 0]                                # (BM,R,d)
+        x2 = jnp.stack([xs[:, :, 0], x_last], axis=2)       # (BM,R,2,d)
+        logp2 = jax.nn.log_softmax(
+            jnp.einsum("...d,vd->...v", x2, emb_w,
+                       preferred_element_type=jnp.float32), axis=-1)
         if S1 > 1:
-            contrib = jnp.take_along_axis(
-                logp[:, :, :-1], tokens[:, :, 1:, None], axis=-1)[..., 0]
+            tgt_r, lse_r = _target_lse(xs[:, :, :-1], emb_w,
+                                       tokens[:, :, 1:])
             s_valid = (jnp.arange(1, S1)[None, None, :]
                        < n_tokens[:, :, None])
-            total = total + jnp.sum(jnp.where(s_valid, contrib, 0.0),
-                                    axis=-1)
-        last = jnp.take_along_axis(
-            logp, jnp.clip(n_tokens - 1, 0)[:, :, None, None], axis=2
-        )[:, :, 0]                                          # (BM, R, V)
-        return (total, logp[:, :, 0], jnp.stack(k0s), jnp.stack(v0s), last)
+            total = total + jnp.sum(
+                jnp.where(s_valid, tgt_r - lse_r, 0.0), axis=-1)
+        return (total, logp2[:, :, 0], jnp.stack(k0s), jnp.stack(v0s),
+                logp2[:, :, 1])
 
     # peek mode: h holds positions 0..Sc-1 = 0..S1-2 (the dead last
     # position was never computed), and only position 0 needs a full
-    # log-softmax row — for s >= 1 the contribution is
-    # logit[token] - logsumexp(logits), which avoids materializing a
-    # second (BM, R, Sc, V) f32 tensor.
-    logits = clm._logits(h)                              # (BM,R,Sc,V)
-    logp0 = jax.nn.log_softmax(logits[:, :, 0], axis=-1)    # (BM, R, V)
+    # log-softmax row (it becomes the extended beam's next_logp). For
+    # s >= 1 the contribution is logit[token] - logsumexp(logits),
+    # computed through ``ops.logits_lse.target_lse`` — the XLA form by
+    # default; ``HCTR_LSE_PALLAS=1`` opts into a streaming flash-LSE
+    # kernel that skips the (rows, V) f32 logits round-trip (measured
+    # ~even e2e at production shape — see the kernel docstring).
+    from ..ops.logits_lse import target_lse
+
+    emb = clm.p["embed"]["embedding"]
+    xs = clm._ln(h, clm.p["ln_f"])                       # (BM,R,Sc,d)
+    logits0 = jnp.einsum("...d,vd->...v", xs[:, :, 0], emb,
+                         preferred_element_type=jnp.float32)  # (BM,R,V)
+    logp0 = jax.nn.log_softmax(logits0, axis=-1)            # (BM, R, V)
     if S1 > 1:
-        lse = jax.scipy.special.logsumexp(logits, axis=-1)  # (BM,R,S1-1)
-        tgt = jnp.take_along_axis(
-            logits, tokens[:, :, 1:, None], axis=-1)[..., 0]
-        contrib = tgt - lse
+        # token 1 is scored by position 0's already-materialized row
+        c0 = (jnp.take_along_axis(
+                  logits0, tokens[:, :, 1][..., None], axis=-1)[..., 0]
+              - jax.scipy.special.logsumexp(logits0, axis=-1))  # (BM,R)
+        if Sc > 1:
+            # positions 1..Sc-1 score tokens 2..S1-1
+            tgt_r, lse_r = target_lse(xs[:, :, 1:], emb, tokens[:, :, 2:S1])
+            contrib = jnp.concatenate([c0[..., None], tgt_r - lse_r],
+                                      axis=-1)           # (BM,R,S1-1)
+        else:
+            contrib = c0[..., None]
         s_valid = (jnp.arange(1, S1)[None, None, :] < n_tokens[:, :, None])
         total = total + jnp.sum(jnp.where(s_valid, contrib, 0.0), axis=-1)
     return (total, logp0, jnp.stack(k0s), jnp.stack(v0s))

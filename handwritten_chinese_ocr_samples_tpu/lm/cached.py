@@ -107,9 +107,31 @@ class CachedLM:
         ``new.k[l, p, t] = k_new[l, p] if t == wpos[p] else
         cache.k[l, idx[p], t]`` (``wpos[p] >= L`` writes nothing; lengths
         are NOT updated — the caller owns them). The reorder lowers as a
-        one-hot matmul and the write as a select fused into its epilogue:
-        XLA's scatter lowering for per-row dynamic indices serializes and
-        profiled several times slower at beam shapes."""
+        one-hot matmul with the write as a select fused into its
+        epilogue: XLA's scatter lowering for per-row dynamic indices
+        serializes and profiled several times slower at beam shapes.
+
+        ``HCTR_GATHER_PALLAS=1`` opts into a pure data-movement Pallas
+        kernel instead (``ops.cache_gather``: scalar-prefetched parent
+        indices drive the block index_map). Measured FASTER in isolation
+        (2.1 vs 3.0 ms/step at production shape) but SLOWER end-to-end
+        inside the decode scan (15.5 vs 17.4 lines/sec) — the pallas
+        boundary appears to cost a carry relayout per step. Kept opt-in
+        pending a layout-level fix; see NOTES.md."""
+        import os
+        if (jax.default_backend() == "tpu"
+                and os.environ.get("HCTR_GATHER_PALLAS")):
+            from ..ops.cache_gather import gather_write_kv
+            k, v = gather_write_kv(cache.k, cache.v, idx, k_new, v_new,
+                                   wpos)
+            return LMCache(k=k, v=v, lengths=cache.lengths[idx])
+        return CachedLM.gather_write_xla(cache, idx, k_new, v_new, wpos)
+
+    @staticmethod
+    def gather_write_xla(cache: LMCache, idx: jnp.ndarray,
+                         k_new: jnp.ndarray, v_new: jnp.ndarray,
+                         wpos: jnp.ndarray) -> LMCache:
+        """One-hot-matmul oracle for ``gather_write`` (same contract)."""
         B, L = cache.k.shape[1:3]
         sel = (idx[:, None] == jnp.arange(B)[None, :]).astype(cache.k.dtype)
         wmask = (jnp.arange(L)[None, :] == wpos[:, None])  # (B, L)

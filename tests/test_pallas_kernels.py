@@ -90,3 +90,98 @@ def test_peek_cache_attention_interpret():
     want = jnp.einsum("bnhl,blhk->bnhk", w, vv)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("shape,V,d", [((2, 3, 4), 300, 64),
+                                       ((37,), 777, 96),
+                                       ((1, 5), 128, 32)])
+def test_lse_rows_interpret(shape, V, d):
+    """Streaming-LSE kernel (interpret mode) == XLA oracle, including
+    row/vocab shapes that don't divide the tile sizes."""
+    from handwritten_chinese_ocr_samples_tpu.ops.logits_lse import (
+        lse_rows, target_logit, target_lse_xla)
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=shape + (d,)), jnp.float32)
+    emb = jnp.asarray(rng.normal(size=(V, d)), jnp.float32)
+    tgt = jnp.asarray(rng.integers(0, V, size=shape), jnp.int32)
+
+    lse = lse_rows(x, emb, block_rows=16, block_v=128, interpret=True)
+    t = target_logit(x, emb, tgt)
+    t_x, lse_x = target_lse_xla(x, emb, tgt)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(lse_x),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t), np.asarray(t_x),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_lse_rows_bf16_inputs():
+    """bf16 activations/embedding accumulate in f32 like the XLA path."""
+    from handwritten_chinese_ocr_samples_tpu.ops.logits_lse import (
+        lse_rows, target_lse_xla)
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(9, 48)), jnp.bfloat16)
+    emb = jnp.asarray(rng.normal(size=(260, 48)), jnp.bfloat16)
+    tgt = jnp.zeros((9,), jnp.int32)
+    lse = lse_rows(x, emb, block_rows=8, block_v=128, interpret=True)
+    _, lse_x = target_lse_xla(x, emb, tgt)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(lse_x),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_gather_write_kv_interpret():
+    """DMA gather/patch kernel (interpret mode) == one-hot-matmul oracle,
+    including no-write rows (wpos >= L) and identity reorders."""
+    from handwritten_chinese_ocr_samples_tpu.lm.cached import (
+        CachedLM, LMCache)
+    from handwritten_chinese_ocr_samples_tpu.ops.cache_gather import (
+        gather_write_kv)
+
+    rng = np.random.default_rng(5)
+    layers, B, L, H, Dh = 2, 6, 16, 2, 8
+    k = jnp.asarray(rng.normal(size=(layers, B, L, H, Dh)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(layers, B, L, H, Dh)), jnp.float32)
+    kn = jnp.asarray(rng.normal(size=(layers, B, H, Dh)), jnp.float32)
+    vn = jnp.asarray(rng.normal(size=(layers, B, H, Dh)), jnp.float32)
+    idx = jnp.asarray([3, 3, 0, 5, 4, 1], jnp.int32)
+    # one row past the end (masked write), one identity row
+    wpos = jnp.asarray([0, 7, L, 2, L - 1, L + 3], jnp.int32)
+    lengths = jnp.asarray(rng.integers(0, L, size=(B,)), jnp.int32)
+
+    cache = LMCache(k=k, v=v, lengths=lengths)
+    want = CachedLM.gather_write_xla(cache, idx, kn, vn, wpos)
+    got_k, got_v = gather_write_kv(k, v, idx, kn, vn, wpos)
+    np.testing.assert_allclose(np.asarray(got_k), np.asarray(want.k),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want.v),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_gather_write_kv_vmapped_interpret():
+    """The grouped decoder vmaps gather_write over G lanes — the kernel
+    must batch correctly (explicit-loop fallback for scalar prefetch)."""
+    from handwritten_chinese_ocr_samples_tpu.lm.cached import (
+        CachedLM, LMCache)
+    from handwritten_chinese_ocr_samples_tpu.ops.cache_gather import (
+        gather_write_kv)
+
+    rng = np.random.default_rng(9)
+    G, layers, B, L, H, Dh = 3, 2, 4, 8, 2, 8
+    k = jnp.asarray(rng.normal(size=(G, layers, B, L, H, Dh)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(G, layers, B, L, H, Dh)), jnp.float32)
+    kn = jnp.asarray(rng.normal(size=(G, layers, B, H, Dh)), jnp.float32)
+    vn = jnp.asarray(rng.normal(size=(G, layers, B, H, Dh)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, B, size=(G, B)), jnp.int32)
+    wpos = jnp.asarray(rng.integers(0, L + 2, size=(G, B)), jnp.int32)
+
+    got_k, got_v = jax.vmap(gather_write_kv)(k, v, idx, kn, vn, wpos)
+    for g in range(G):
+        cache = LMCache(k=k[g], v=v[g],
+                        lengths=jnp.zeros((B,), jnp.int32))
+        want = CachedLM.gather_write_xla(cache, idx[g], kn[g], vn[g],
+                                         wpos[g])
+        np.testing.assert_allclose(np.asarray(got_k[g]),
+                                   np.asarray(want.k), rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got_v[g]),
+                                   np.asarray(want.v), rtol=1e-6, atol=1e-6)
