@@ -35,7 +35,6 @@ Mirrors the role of the reference's per-call beam-search knobs
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import numpy as np

@@ -315,6 +315,17 @@ def make_lm_beam_search(
     BM, K = beam_size, depth
     M = (lm_depth if lm_depth is not None else depth) if use_lm_pred else 0
     P = K + M if peek_rows is None else max(1, min(peek_rows, K + M))
+    if P < K + M and not return_overflow:
+        # A compacted peek below the static bound is only exact when the
+        # data respects the ``count_peek_rows`` bound — which the device
+        # can't verify without surfacing the overflow flag. Refuse to
+        # build a decoder that could silently mis-score (the flag would
+        # be computed and then dropped); callers either size peek_rows
+        # from data AND accept the flag, or skip compaction.
+        raise ValueError(
+            f"peek_rows={peek_rows} is below the always-exact bound "
+            f"{K + M} (depth + lm_depth); pass return_overflow=True and "
+            f"check the per-line flag, or leave peek_rows=None")
     S = suffix_frames
     S1 = S + 1
     sos = 0  # tokenizer.sos_index

@@ -24,7 +24,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import custom_batching
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -132,6 +131,8 @@ def _lse_rows_folded(x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
 def _lse_rows_folded_vmap(axis_size, in_batched, x, emb):
     if in_batched[1]:
         # per-lane embeddings can't fold — sequential lanes (not our case)
+        if not in_batched[0]:
+            x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
         out = jax.lax.map(lambda ab: _lse_rows_folded(ab[0], ab[1]),
                           (x, emb))
         return out, True

@@ -272,19 +272,12 @@ class ServingEngine:
         """
         import jax.numpy as jnp
 
-        h = self.model.img_height
         groups: Dict[int, List[int]] = {}
         arrays: List[np.ndarray] = []
         for i, f in enumerate(image_files):
-            src = cv2.imread(f)
-            if src is None:
-                raise FileNotFoundError(f)
-            if src.ndim == 3:
-                src = cv2.cvtColor(src, cv2.COLOR_BGR2GRAY)
-            true_w = int(h * src.shape[1] / src.shape[0])
-            w = self.bucket_for(true_w)
+            w, x = self.preprocess_bucketed(f)
             groups.setdefault(w, []).append(i)
-            arrays.append(preprocess_fixed_shape(f, h, w))
+            arrays.append(x)
 
         texts: List[str] = [""] * len(image_files)
         t0 = time.time()

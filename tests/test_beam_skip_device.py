@@ -229,9 +229,20 @@ def test_skip_device_peek_rows_compaction_exact(setup):
             clm, c2l, l2c, beam_size=BM, depth=K,
             unknown_id=codec.unknown_id, lm_panelty=0.7, len_bonus=1.5,
             lm_ctx=64, use_lm_pred=True, skip_search=True, prune=PRUNE,
-            group_size=group, peek_rows=pr)
-        prefixes, lengths = fn(cv, ci, logits_btd, logz, blank_lp, n_above)
+            group_size=group, peek_rows=pr, return_overflow=True)
+        prefixes, lengths, ovf = fn(cv, ci, logits_btd, logz, blank_lp,
+                                    n_above)
         assert codec.compact_to_texts(prefixes, lengths) == want, group
+        assert not bool(np.asarray(ovf).any())
+
+    # a compacted budget below the static bound must not be buildable
+    # without the overflow flag (it could silently mis-score)
+    with pytest.raises(ValueError, match="return_overflow"):
+        make_lm_beam_search(
+            clm, c2l, l2c, beam_size=BM, depth=K,
+            unknown_id=codec.unknown_id, lm_panelty=0.7, len_bonus=1.5,
+            lm_ctx=64, use_lm_pred=True, skip_search=True, prune=PRUNE,
+            peek_rows=pr)
 
     # undersized budget: the overflow flag must fire
     fn_small = make_lm_beam_search(

@@ -130,6 +130,24 @@ def test_lse_rows_bf16_inputs():
                                rtol=1e-3, atol=1e-3)
 
 
+def test_lse_rows_folded_emb_batched():
+    """vmap over the EMBEDDING axis (x closed over) takes the sequential
+    lane branch — the unbatched x must broadcast to the lanes, and the
+    lane count must not be confused with x's row count."""
+    from handwritten_chinese_ocr_samples_tpu.ops.logits_lse import (
+        _lse_rows_folded, target_lse_xla)
+
+    rng = np.random.default_rng(3)
+    G, N, V, d = 3, 7, 90, 16     # N != G on purpose
+    x = jnp.asarray(rng.normal(size=(N, d)), jnp.float32)
+    embs = jnp.asarray(rng.normal(size=(G, V, d)), jnp.float32)
+    got = jax.vmap(lambda e: _lse_rows_folded(x, e))(embs)
+    for g in range(G):
+        _, want = target_lse_xla(x, embs[g], jnp.zeros((N,), jnp.int32))
+        np.testing.assert_allclose(np.asarray(got[g]), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_gather_write_kv_interpret():
     """DMA gather/patch kernel (interpret mode) == one-hot-matmul oracle,
     including no-write rows (wpos >= L) and identity reorders."""

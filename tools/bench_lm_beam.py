@@ -109,22 +109,31 @@ def main():
     else:
         peek_rows = args.peek_rows or None
     print(f"peek rows: {peek_rows} (of {2 * args.depth})")
+    group = args.group if B % args.group == 0 else 1
+    if group != args.group:
+        print(f"WARNING: batch {B} not divisible by group {args.group} "
+              f"— running ungrouped")
     fn = make_lm_beam_search(
         clm, c2l, l2c, beam_size=args.beam, depth=args.depth,
         unknown_id=codec.unknown_id, lm_panelty=0.8, len_bonus=4.8,
         lm_ctx=args.lm_ctx, use_lm_pred=True, skip_search=skip,
         kept_budget=args.budget if skip else None,
-        group_size=args.group,
+        group_size=group,
         seg_budget=args.seg_budget if skip else None,
         run_max=args.runmax,
         peek_rows=peek_rows,
+        return_overflow=True,
         frame_budget=None if skip else (args.frame_budget or None))
 
     def run_once():
         if skip:
-            prefixes, lengths = fn(cv, ci, logits, logz, blank_lp, n_above)
+            prefixes, lengths, ovf = fn(cv, ci, logits, logz, blank_lp,
+                                        n_above)
         else:
-            prefixes, lengths = fn(cv, ci, logits, logz)
+            prefixes, lengths, ovf = fn(cv, ci, logits, logz)
+        if np.asarray(ovf).any():
+            print("WARNING: LM-ctx/peek-row overflow on "
+                  f"{int(np.asarray(ovf).sum())} lines — results truncated")
         return np.asarray(prefixes), np.asarray(lengths)
 
     print("compiling...", flush=True)
