@@ -1,0 +1,148 @@
+"""A/B matrix for the LM-fused skip decode: one process, shared setup.
+
+Measures several decoder variants back to back on the SAME synthesized
+posteriors and LM weights, so differences are decode-program differences,
+not synthesis/H2D noise. The opt-in kernel env flags (``HCTR_LSE_PALLAS``,
+``HCTR_GATHER_PALLAS``) are toggled between builds — they're read at trace
+time, so one process can build both arms.
+
+Variants (select with --only substring match):
+  xla            tuned default (XLA target/LSE, one-hot gather)
+  lse-pallas     streaming flash-LSE kernel (HCTR_LSE_PALLAS=1)
+  gather-pallas  DMA cache gather kernel (HCTR_GATHER_PALLAS=1)
+  g4 / g16       group-size probes around the tuned G=8
+  peek-full      compaction off (peek_rows=None)
+
+All variants must decode IDENTICAL texts (asserted) — they are exact
+reformulations; a mismatch is a bug, not a tuning result.
+
+Usage: python tools/ab_lm_beam.py [--iters 3] [--lm-ctx 144]
+       [--seg-budget 52] [--only xla,lse]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+NUM_CLASSES = 7375
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--width", type=int, default=1200)
+    ap.add_argument("--lm-ctx", type=int, default=144)
+    ap.add_argument("--seg-budget", type=int, default=52)
+    ap.add_argument("--budget", type=int, default=192)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--only", default="",
+                    help="comma-separated substrings; empty = all")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from handwritten_chinese_ocr_samples_tpu.core.codec import CTCCodec
+    from handwritten_chinese_ocr_samples_tpu.decode.beam_lm_device import (
+        count_peek_rows, make_id_tables, make_lm_beam_search)
+    from handwritten_chinese_ocr_samples_tpu.lm.cached import CachedLM
+    from handwritten_chinese_ocr_samples_tpu.lm.model import CharTransformerLM
+    from handwritten_chinese_ocr_samples_tpu.lm.tokenizer import Tokenizer
+    from handwritten_chinese_ocr_samples_tpu.ops.topk_logsoftmax import (
+        topk_logsoftmax)
+    from handwritten_chinese_ocr_samples_tpu.utils.posteriors import (
+        synth_peaky_logits)
+
+    B, T, D = args.batch, args.width, NUM_CLASSES
+    chars = "".join(chr(0x4E00 + i) for i in range(D - 2))
+    codec = CTCCodec(chars)
+    tokenizer = Tokenizer.from_characters(chars)
+    model = CharTransformerLM(vocab_size=tokenizer.vocab_size)
+    lm_params = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.key(0)},
+        jnp.zeros((1, 8), jnp.int32), train=False)["params"]
+    clm = CachedLM(model, lm_params, dtype=jnp.bfloat16)
+    c2l, l2c = make_id_tables(codec, tokenizer)
+
+    print(f"synthesizing logits ({B}x{T}x{D})...", flush=True)
+    logits = jax.device_put(jnp.asarray(synth_peaky_logits(B, T, D)),
+                            jax.devices()[0])
+
+    @jax.jit
+    def prep(logits):
+        cv, ci, blank_lp, n_above = topk_logsoftmax(logits, k=10)
+        logz = jax.scipy.special.logsumexp(
+            logits.astype(jnp.float32), axis=-1)
+        return cv, ci, logz, blank_lp, n_above
+
+    cv, ci, logz, blank_lp, n_above = prep(logits)
+    pr = count_peek_rows(np.asarray(n_above), depth=10, use_lm_pred=True)
+    print(f"peek rows: {pr} (of 20)", flush=True)
+
+    base = dict(beam_size=10, depth=10, unknown_id=codec.unknown_id,
+                lm_panelty=0.8, len_bonus=4.8, lm_ctx=args.lm_ctx,
+                use_lm_pred=True, skip_search=True,
+                kept_budget=args.budget, seg_budget=args.seg_budget,
+                run_max=8, return_overflow=True)
+    variants = [
+        ("xla", {}, dict(group_size=8, peek_rows=pr)),
+        ("lse-pallas", {"HCTR_LSE_PALLAS": "1"},
+         dict(group_size=8, peek_rows=pr)),
+        ("gather-pallas", {"HCTR_GATHER_PALLAS": "1"},
+         dict(group_size=8, peek_rows=pr)),
+        # NOTE: group_size=16 is omitted — it reliably faults the worker
+        # (platform/XLA shape bug, see NOTES.md; stable groups are 8, 32)
+        ("g4", {}, dict(group_size=4, peek_rows=pr)),
+        ("g32", {}, dict(group_size=32, peek_rows=pr)),
+        ("peek-full", {}, dict(group_size=8, peek_rows=None)),
+    ]
+    want = args.only.split(",") if args.only else None
+    rows, texts0 = [], None
+    for name, env, kw in variants:
+        if want and not any(s and s in name for s in want):
+            continue
+        for k in ("HCTR_LSE_PALLAS", "HCTR_GATHER_PALLAS"):
+            os.environ.pop(k, None)
+        os.environ.update(env)
+        try:
+            fn = make_lm_beam_search(clm, c2l, l2c, **base, **kw)
+            t0 = time.perf_counter()
+            p, l, ovf = fn(cv, ci, logits, logz, blank_lp, n_above)
+            np.asarray(l)
+            compile_s = time.perf_counter() - t0
+            times = []
+            for _ in range(args.iters):
+                t0 = time.perf_counter()
+                p, l, ovf = fn(cv, ci, logits, logz, blank_lp, n_above)
+                p, l = np.asarray(p), np.asarray(l)
+                times.append(time.perf_counter() - t0)
+            if np.asarray(ovf).any():
+                print(f"  {name}: OVERFLOW on "
+                      f"{int(np.asarray(ovf).sum())} lines", flush=True)
+            texts = codec.compact_to_texts(p, l)
+            if texts0 is None:
+                texts0 = texts
+            match = "==" if texts == texts0 else "** MISMATCH **"
+            dt = min(times)
+            rows.append((name, B / dt, dt / B * 1000, compile_s, match))
+            print(f"  {name}: {B / dt:.2f} lines/sec "
+                  f"({dt / B * 1000:.0f} ms/line, compile {compile_s:.0f}s) "
+                  f"{match}", flush=True)
+        except Exception as e:  # keep the matrix going past one bad arm
+            print(f"  {name}: FAILED {type(e).__name__}: {e}", flush=True)
+            rows.append((name, 0.0, 0.0, 0.0, "failed"))
+        finally:
+            for k in env:
+                os.environ.pop(k, None)
+
+    print("\nvariant            lines/sec   ms/line  compile  decodes")
+    for name, lps, ms, cs, match in rows:
+        print(f"{name:18s} {lps:9.2f} {ms:9.0f} {cs:8.0f}  {match}")
+
+
+if __name__ == "__main__":
+    main()
