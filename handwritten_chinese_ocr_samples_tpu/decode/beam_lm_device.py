@@ -252,6 +252,7 @@ def make_lm_beam_search(
     frame_budget: int | None = None,
     peek_rows: int | None = None,
     return_overflow: bool = False,
+    ctx_ladder: tuple[int, int] | None = None,
 ):
     """Build a jitted LM-fused beam search.
 
@@ -304,6 +305,18 @@ def make_lm_beam_search(
     min(max(n_above), depth) + lm_depth`` (``count_peek_rows``) — the
     useful-row count can never exceed that bound. None = no compaction.
 
+    ``ctx_ladder=(segs1, ctx1)`` (skip mode only) scans the first
+    ``segs1`` segments on a ``ctx1``-deep KV cache, then zero-pads the
+    carry to ``lm_ctx`` and finishes at full depth. Early in the decode
+    every beam has committed only a few tokens, yet the per-step cache
+    reorder and the peek's cache attention both cost O(cache depth) — the
+    ladder cuts that for the front of the scan. EXACT (decodes and
+    overflow behavior unchanged) whenever no beam commits more than
+    ``ctx1`` tokens within the first ``segs1`` segments; size the pair
+    with ``count_ladder_segments`` for a sound per-batch bound (a beam
+    commits at most one token per kept frame, so the bound cannot be
+    beaten by any beam path).
+
     ``frame_budget`` (full search only) statically truncates the frame
     scan: frames at or beyond every line's ``end_step`` (last greedy char
     + ``suffix_frames``, `ctc_codec.py:198-199`) are inactive no-ops, so a
@@ -326,6 +339,13 @@ def make_lm_beam_search(
             f"peek_rows={peek_rows} is below the always-exact bound "
             f"{K + M} (depth + lm_depth); pass return_overflow=True and "
             f"check the per-line flag, or leave peek_rows=None")
+    if ctx_ladder is not None:
+        if not skip_search:
+            raise ValueError("ctx_ladder requires skip_search=True")
+        if not (0 < ctx_ladder[1] < lm_ctx) or ctx_ladder[0] < 1:
+            raise ValueError(
+                f"ctx_ladder={ctx_ladder} must be (segments >= 1, "
+                f"0 < ctx1 < lm_ctx={lm_ctx})")
     S = suffix_frames
     S1 = S + 1
     sos = 0  # tokenizer.sos_index
@@ -359,8 +379,20 @@ def make_lm_beam_search(
                                  kept_chars[jnp.clip(sidx, 0, T - 1)], 0)
         suffix_valid = jnp.sum((sidx < n_kept).astype(jnp.int32), axis=1)
 
-        # ---- init state: all beams share an sos-primed cache
-        cache = clm.init_cache(BM, lm_ctx)
+        # A ladder spanning every segment would leave the cache at the
+        # small rung for the whole decode (breaking the lm_ctx contract)
+        # — only ladder when a full-depth second chunk remains.
+        _budget = T if kept_budget is None else min(kept_budget, T)
+        _SB = _budget if seg_budget is None else min(seg_budget, _budget)
+        ladder = (ctx_ladder if ctx_ladder is not None
+                  and ctx_ladder[0] < _SB else None)
+
+        # ---- init state: all beams share an sos-primed cache (at the
+        # ladder's first-rung depth when laddering — the step/peek/reorder
+        # machinery derives every shape and overflow bound from the
+        # cache itself, so the same step functions serve both rungs)
+        cache = clm.init_cache(
+            BM, lm_ctx if ladder is None else ladder[1])
         logits0, cache = clm.step(cache, jnp.full((BM,), sos, jnp.int32))
         next_logp0 = jax.nn.log_softmax(logits0, axis=-1)
         state = LMBeamState(
@@ -574,8 +606,9 @@ def make_lm_beam_search(
             # (one-hot matmul + select epilogue, no scatter).
             k_sel = peek_k0[:, sel_parent, sel_slot]   # (layers, BM, H, Dh)
             v_sel = peek_v0[:, sel_parent, sel_slot]
+            Lc = state.cache.k.shape[2]     # current rung's cache depth
             glen = state.cache.lengths[reorder]
-            wpos = jnp.where(do_step, glen, lm_ctx)
+            wpos = jnp.where(do_step, glen, Lc)
             new_cache = CachedLM.gather_write(
                 state.cache, reorder, k_sel.astype(clm.dtype),
                 v_sel.astype(clm.dtype), wpos)._replace(
@@ -600,7 +633,7 @@ def make_lm_beam_search(
                                        state.prefix_score),
                 next_logp=new_next_logp,
                 cache=new_cache,
-                ovf=state.ovf | jnp.any(do_step & (glen >= lm_ctx))
+                ovf=state.ovf | jnp.any(do_step & (glen >= Lc))
                 | peek_ovf,
             )
             return new_state, ()
@@ -708,7 +741,7 @@ def make_lm_beam_search(
                 next_logp=jnp.where(n_com[:, None] > 0, last_lp[:, 0],
                                     state.next_logp),
                 cache=new_cache,
-                ovf=state.ovf | jnp.any(state.cache.lengths + n_com > lm_ctx),
+                ovf=state.ovf | jnp.any(state.cache.lengths + n_com > L_ctx),
             )
 
         if skip_search:
@@ -807,7 +840,21 @@ def make_lm_beam_search(
                         jnp.where(a_on, preB[ta], NEG_INF) + state.pnb))
                 return full_step(state, ta, a_on)
 
-            state, _ = jax.lax.scan(seg_step, state, (cf_map, amb_map))
+            if ladder is not None:
+                k1, ctx1 = ladder
+                state, _ = jax.lax.scan(
+                    seg_step, state, (cf_map[:k1], amb_map[:k1]))
+                # climb to the full rung: zero-pad the cache depth (all
+                # reads mask by ``lengths``, so the pad rows stay dead)
+                grow = ((0, 0), (0, 0), (0, lm_ctx - ctx1), (0, 0), (0, 0))
+                state = state._replace(cache=LMCache(
+                    k=jnp.pad(state.cache.k, grow),
+                    v=jnp.pad(state.cache.v, grow),
+                    lengths=state.cache.lengths))
+                state, _ = jax.lax.scan(
+                    seg_step, state, (cf_map[k1:], amb_map[k1:]))
+            else:
+                state, _ = jax.lax.scan(seg_step, state, (cf_map, amb_map))
             # blank-fast frames after the last kept frame
             state = state._replace(
                 pb=_logaddexp(tailA + state.pb, tailB + state.pnb))
@@ -905,6 +952,53 @@ def count_segments(cand_idx: jnp.ndarray, n_above: jnp.ndarray,
         tail = kept_cf.size - (amb_pos[-1] + 1 if amb_pos.size else 0)
         out[b] = segs + int(np.ceil(tail / run_max))
     return out
+
+
+def count_ladder_segments(cand_idx: jnp.ndarray, n_above: jnp.ndarray,
+                          *, ctx1: int, unknown_id: int, blank_id: int = 0,
+                          suffix_frames: int = 4, run_max: int = 8) -> int:
+    """Sound ``ctx_ladder`` first-rung length: the largest segment count k
+    such that NO beam of ANY line can have committed more than ``ctx1``
+    LM tokens (incl. sos) after the first k segments. A beam commits at
+    most one token per kept frame, so 1 + (kept frames consumed by the
+    first k segments) bounds every beam path — the ladder is then exact,
+    not just likely-exact. Host-side helper; mirrors the device
+    scheduler's run/segment packing (``sched`` in ``decode_one``).
+    Returns 0 when even one segment could overflow ``ctx1``."""
+    cand_idx = np.asarray(cand_idx)
+    n_above = np.asarray(n_above)
+    B, T = n_above.shape
+    k_min = None
+    for b in range(B):
+        arg = cand_idx[b, :, 0]
+        prev = np.concatenate([[-1], arg[:-1]])
+        keep = (arg != blank_id) & (arg != unknown_id) & (arg != prev)
+        end = (int(np.max(np.where(keep, np.arange(T), -1))) + suffix_frames
+               if keep.any() else 0)
+        end = min(end, T)
+        fast = n_above[b, :end] == 1
+        sv = arg[:end]
+        charfast = fast & (sv != blank_id) & (sv < unknown_id)
+        kept_cf = charfast[~fast | charfast]     # cf mask in kept order
+        seg_kept, cur, pos = [], 0, 0
+        for cf in kept_cf:
+            if cf:
+                if pos >= run_max:               # run full: new segment
+                    seg_kept.append(cur)
+                    cur = pos = 0
+                cur += 1
+                pos += 1
+            else:                                # ambiguous closes it
+                seg_kept.append(cur + 1)
+                cur = pos = 0
+        if cur:
+            seg_kept.append(cur)
+        toks = 1 + np.cumsum(seg_kept) if seg_kept else np.array([1])
+        if toks[-1] <= ctx1:
+            continue        # whole line fits in ctx1: no constraint
+        k_b = int(np.searchsorted(toks, ctx1, side="right"))
+        k_min = k_b if k_min is None else min(k_min, k_b)
+    return (1 << 30) if k_min is None else int(k_min)
 
 
 def count_peek_rows(n_above: jnp.ndarray, *, depth: int = 10,

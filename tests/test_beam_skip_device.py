@@ -254,6 +254,70 @@ def test_skip_device_peek_rows_compaction_exact(setup):
     assert bool(np.asarray(ovf).any())
 
 
+def test_skip_device_ctx_ladder_exact(setup):
+    """Decoding the first ``count_ladder_segments`` segments on a small
+    KV cache then climbing to the full depth is bit-identical to a
+    full-depth decode (and the host oracle); an unsound ladder (first
+    rung too shallow for the data) flags overflow instead of silently
+    dropping cache writes."""
+    from handwritten_chinese_ocr_samples_tpu.decode.beam_lm_device import (
+        count_ladder_segments, count_segments,
+    )
+    codec, clm, scorer, c2l, l2c = setup
+    BM, K = 4, 6
+    cfg = BeamSearchConfig(beam_size=BM, search_depth=K, lm_panelty=0.7,
+                           len_bonus=1.5, use_lm_pred=True,
+                           use_lm_score=True, skip_search=True,
+                           prune_log_prob=PRUNE)
+    host = BeamSearchDecoder(codec, JaxLMBackend(scorer), cfg)
+
+    logits_tbd = _peaky_preds(T=32, B=4, seed=21)
+    want = host.decode(log_softmax(logits_tbd, axis=2), already_log=True)
+    logits_btd = jnp.asarray(logits_tbd.transpose(1, 0, 2))
+    cv, ci, blank_lp, n_above = topk_logsoftmax_xla(logits_btd, k=K,
+                                                    prune=PRUNE)
+    logz = jax.scipy.special.logsumexp(
+        logits_btd.astype(jnp.float32), axis=-1)
+
+    segs = int(count_segments(ci, n_above,
+                              unknown_id=codec.unknown_id).max())
+    for ctx1 in (8, 12, 16, 24, 32):
+        k1 = count_ladder_segments(ci, n_above, ctx1=ctx1,
+                                   unknown_id=codec.unknown_id)
+        if k1 >= 1:
+            break
+    assert k1 >= 1               # the data lets at least one segment ladder
+    assert ctx1 < 64             # and the first rung is genuinely smaller
+    base = dict(beam_size=BM, depth=K, unknown_id=codec.unknown_id,
+                lm_panelty=0.7, len_bonus=1.5, lm_ctx=64,
+                use_lm_pred=True, skip_search=True, prune=PRUNE,
+                seg_budget=segs + 1, return_overflow=True)
+    for group, ladder in ((1, (min(k1, segs), ctx1)), (2, (1, ctx1))):
+        fn = make_lm_beam_search(clm, c2l, l2c, group_size=group,
+                                 ctx_ladder=ladder, **base)
+        prefixes, lengths, ovf = fn(cv, ci, logits_btd, logz, blank_lp,
+                                    n_above)
+        assert not bool(np.asarray(ovf).any())
+        assert codec.compact_to_texts(prefixes, lengths) == want, ladder
+
+    # unsound first rung: too shallow for the committed tokens -> flagged
+    fn_bad = make_lm_beam_search(clm, c2l, l2c, group_size=1,
+                                 ctx_ladder=(segs, 2), **base)
+    _, _, ovf = fn_bad(cv, ci, logits_btd, logz, blank_lp, n_above)
+    assert bool(np.asarray(ovf).any())
+
+    # invalid ladders are rejected at build time
+    with pytest.raises(ValueError, match="ctx_ladder"):
+        make_lm_beam_search(clm, c2l, l2c, group_size=1,
+                            ctx_ladder=(2, 64), **base)   # ctx1 == lm_ctx
+    with pytest.raises(ValueError, match="skip_search"):
+        make_lm_beam_search(
+            clm, c2l, l2c, beam_size=BM, depth=K,
+            unknown_id=codec.unknown_id, lm_panelty=0.7, len_bonus=1.5,
+            lm_ctx=64, use_lm_pred=True, skip_search=False,
+            ctx_ladder=(2, 8))
+
+
 def test_full_search_peek_rows_noop(setup):
     """Full (non-skip) search has no pruned candidates: a peek budget of
     K + M is a no-op and must decode identically to the default."""

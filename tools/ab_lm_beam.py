@@ -48,7 +48,8 @@ def main():
     import jax.numpy as jnp
     from handwritten_chinese_ocr_samples_tpu.core.codec import CTCCodec
     from handwritten_chinese_ocr_samples_tpu.decode.beam_lm_device import (
-        count_peek_rows, make_id_tables, make_lm_beam_search)
+        count_ladder_segments, count_peek_rows, make_id_tables,
+        make_lm_beam_search)
     from handwritten_chinese_ocr_samples_tpu.lm.cached import CachedLM
     from handwritten_chinese_ocr_samples_tpu.lm.model import CharTransformerLM
     from handwritten_chinese_ocr_samples_tpu.lm.tokenizer import Tokenizer
@@ -82,6 +83,19 @@ def main():
     cv, ci, logz, blank_lp, n_above = prep(logits)
     pr = count_peek_rows(np.asarray(n_above), depth=10, use_lm_pred=True)
     print(f"peek rows: {pr} (of 20)", flush=True)
+    ladders = []
+    for ctx1 in (64, 96):
+        if ctx1 >= args.lm_ctx:
+            continue
+        k1 = min(count_ladder_segments(
+            np.asarray(ci), np.asarray(n_above), ctx1=ctx1,
+            unknown_id=codec.unknown_id), args.seg_budget - 1)
+        print(f"ladder ctx1={ctx1}: sound for the first {k1} "
+              f"of {args.seg_budget} segments", flush=True)
+        if k1 >= 4:
+            ladders.append((f"ladder{ctx1}", {},
+                            dict(group_size=8, peek_rows=pr,
+                                 ctx_ladder=(k1, ctx1))))
 
     base = dict(beam_size=10, depth=10, unknown_id=codec.unknown_id,
                 lm_panelty=0.8, len_bonus=4.8, lm_ctx=args.lm_ctx,
@@ -99,6 +113,7 @@ def main():
         ("g4", {}, dict(group_size=4, peek_rows=pr)),
         ("g32", {}, dict(group_size=32, peek_rows=pr)),
         ("peek-full", {}, dict(group_size=8, peek_rows=None)),
+        *ladders,
     ]
     want = args.only.split(",") if args.only else None
     rows, texts0 = [], None
