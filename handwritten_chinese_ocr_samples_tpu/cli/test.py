@@ -79,6 +79,13 @@ def build_argparser():
                            "skip-search (0 = auto-size per batch)")
     args.add_argument("--run-max", dest="run_max", type=int, default=8,
                       help="max char-fast frames per compacted segment")
+    args.add_argument("--ctx-ladder", dest="ctx_ladder", type=int,
+                      default=0,
+                      help="KV-context ladder first-rung depth: scan the "
+                           "early segments on a cache this deep before "
+                           "climbing to the full context (0 = off; exact "
+                           "— the rung length is sized per batch from a "
+                           "sound bound)")
     args.add_argument("--lm-f32", dest="lm_f32", action="store_true",
                       help="run the fused LM in float32 (default bfloat16)")
     args.add_argument("-jw", "--workers", type=int, metavar="N", default=4,

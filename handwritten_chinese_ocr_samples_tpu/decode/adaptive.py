@@ -70,7 +70,7 @@ class AdaptiveLMBeam:
                  len_bonus: float, use_lm_pred: bool = True,
                  skip_search: bool = True, group_size: int = 8,
                  lm_ctx: int = 0, seg_budget: int = 0, run_max: int = 8,
-                 mesh=None, verbose: bool = False):
+                 ctx_ladder: int = 0, mesh=None, verbose: bool = False):
         self._clm = clm
         self._c2l = codec2lm
         self._l2c = lm2codec
@@ -95,8 +95,14 @@ class AdaptiveLMBeam:
                 f"(auto)")
         self._fb = 0        # full search: static frame budget (grow-only)
         self._peek = 0      # skip search: peek-row budget (grow-only)
+        # KV-context ladder: first-rung depth (0 = off); the rung length
+        # (segments) is sized per batch from the device-side sound bound
+        # and quantized DOWN (shorter first rungs stay sound)
+        self._ladder_ctx = int(ctx_ladder)
+        self._ladder_k = 0
         self._fns = {}
         self._stats = None  # lazy jitted device-side knob-sizing maxima
+        self._ladder = None  # lazy jitted device-side ladder sizing
         # data-parallel decode: lines are independent, so with a mesh the
         # batch shards over its ``data`` axis (parallel.mesh.shard_batched_fn)
         self._mesh = mesh
@@ -131,7 +137,8 @@ class AdaptiveLMBeam:
             f"context")
 
     def _fn(self, T: int, B: int):
-        key = (T, B, self._ctx, self._budget, self._fb, self._peek)
+        key = (T, B, self._ctx, self._budget, self._fb, self._peek,
+               self._ladder_k)
         fn = self._fns.get(key)
         if fn is None:
             from .beam_lm_device import make_lm_beam_search
@@ -146,6 +153,8 @@ class AdaptiveLMBeam:
                     self._clm, self._c2l, self._l2c, skip_search=True,
                     lm_ctx=self._ctx, seg_budget=self._budget,
                     group_size=group, peek_rows=self._peek or None,
+                    ctx_ladder=((self._ladder_k, self._ladder_ctx)
+                                if self._ladder_k else None),
                     **self._kw)
             else:
                 fn = make_lm_beam_search(
@@ -162,6 +171,8 @@ class AdaptiveLMBeam:
                       + (f" seg_budget={self._budget} "
                          f"peek_rows={self._peek}" if self.skip
                          else f" (full search, frame budget {self._fb})")
+                      + (f" ladder=({self._ladder_k}, {self._ladder_ctx})"
+                         if self.skip and self._ladder_k else "")
                       + (f" data-sharded x{self._ndata}"
                          if self._mesh is not None else ""))
         return fn
@@ -206,6 +217,21 @@ class AdaptiveLMBeam:
                 # data max + 1, rounded to 4: round-2 profiling showed the
                 # scan length is a first-order cost (seg 52 vs 56 = +7%)
                 self._budget = -(-max(seg_max + 1, 16) // 4) * 4
+            if self._ladder_ctx and self._ladder_ctx < self._ctx:
+                # sound per-batch first-rung length, quantized DOWN to
+                # multiples of 8 (shorter rungs remain sound) and leaving
+                # at least one full-depth segment; too-short rungs are
+                # not worth the extra program
+                if self._ladder is None:
+                    from .beam_lm_device import make_count_ladder
+                    self._ladder = make_count_ladder(
+                        unknown_id=self.unknown_id, run_max=self.run_max)
+                k = int(jax.device_get(self._ladder(
+                    cand_idx, n_above, self._ladder_ctx)))
+                k = min(k // 8 * 8, self._budget - 1)
+                self._ladder_k = k if k >= 8 else 0
+            else:
+                self._ladder_k = 0
         else:
             # full search scans frames; truncating at the batch max
             # end_step is exact (frames past it are inactive no-ops)

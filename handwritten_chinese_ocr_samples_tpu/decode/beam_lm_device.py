@@ -1015,6 +1015,61 @@ def count_peek_rows(n_above: jnp.ndarray, *, depth: int = 10,
     return int(min(int(np.max(np.asarray(n_above))), depth) + m)
 
 
+def make_count_ladder(*, unknown_id: int, blank_id: int = 0,
+                      suffix_frames: int = 4, run_max: int = 8):
+    """Jitted device twin of ``count_ladder_segments`` (one scalar out).
+
+    The sound first-rung length is the 0-based segment id that the
+    ``ctx1``-th kept frame of the densest line lands in (tokens after k
+    segments <= 1 + kept frames consumed, and the ctx1-th kept frame is
+    the first that could push a beam past ctx1 slots). Runs the same
+    run/segment packing as the decode scheduler over every line at once;
+    ``ctx1`` is a traced scalar, so one compile serves every rung.
+    Equivalence with the host helper is locked by
+    ``tests/test_adaptive_lm.py``."""
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=())
+    def ladder(cand_idx, n_above, ctx1):
+        arg = cand_idx[:, :, 0]                            # (B, T)
+        B, T = arg.shape
+        prev = jnp.concatenate(
+            [jnp.full((B, 1), -1, arg.dtype), arg[:, :-1]], axis=1)
+        keep = (arg != blank_id) & (arg != unknown_id) & (arg != prev)
+        last = jnp.max(jnp.where(keep, jnp.arange(T)[None, :], -1), axis=1)
+        end = jnp.where(last >= 0,
+                        jnp.minimum(last + suffix_frames, T), 0)
+        in_range = jnp.arange(T)[None, :] < end[:, None]
+        fast = (n_above == 1) & in_range
+        amb = (n_above != 1) & in_range
+        cf = fast & (arg != blank_id) & (arg < unknown_id)
+
+        big = jnp.int32(1 << 30)
+
+        def sched(carry, xs):
+            seg, pos, n, k_b = carry
+            is_cf, is_amb = xs
+            overflow = is_cf & (pos >= run_max)
+            w_seg = jnp.where(overflow, seg + 1, seg)
+            w_pos = jnp.where(overflow, 0, pos)
+            kept = is_cf | is_amb
+            n2 = n + kept.astype(jnp.int32)
+            k_b = jnp.where(kept & (n2 == ctx1) & (k_b == big),
+                            w_seg, k_b)
+            seg = jnp.where(is_amb, w_seg + 1, w_seg)
+            pos = jnp.where(is_amb, 0,
+                            jnp.where(is_cf, w_pos + 1, pos))
+            return (seg, pos, n2, k_b), ()
+
+        init = (jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
+                jnp.zeros((B,), jnp.int32), jnp.full((B,), big, jnp.int32))
+        (_, _, _, k_b), _ = jax.lax.scan(
+            sched, init, (cf.T, (amb & ~cf).T))
+        return jnp.min(k_b)
+
+    return ladder
+
+
 def make_count_stats(*, unknown_id: int, blank_id: int = 0,
                      suffix_frames: int = 4, run_max: int = 8):
     """Jitted device-side batch maxima for ``decode.adaptive``'s knob

@@ -153,6 +153,7 @@ class EvalSession:
                 lm_ctx=getattr(args, "lm_ctx", 0),
                 seg_budget=getattr(args, "seg_budget", 0),
                 run_max=getattr(args, "run_max", 8),
+                ctx_ladder=getattr(args, "ctx_ladder", 0),
                 verbose=True)
 
             @jax.jit

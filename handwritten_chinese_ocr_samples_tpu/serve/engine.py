@@ -94,6 +94,7 @@ class ServingEngine:
                  lm_group: int = 8,
                  seg_budget: int = 0,
                  run_max: int = 8,
+                 ctx_ladder: int = 0,
                  lm_f32: bool = False):
         import jax
         import jax.numpy as jnp
@@ -139,7 +140,8 @@ class ServingEngine:
                 unknown_id=unknown_id, lm_panelty=lm_panelty,
                 len_bonus=len_bonus, use_lm_pred=use_lm_pred,
                 skip_search=self._skip, group_size=lm_group,
-                lm_ctx=lm_ctx, seg_budget=seg_budget, run_max=run_max)
+                lm_ctx=lm_ctx, seg_budget=seg_budget, run_max=run_max,
+                ctx_ladder=ctx_ladder)
 
             def infer(variables, x_u8):
                 logits = model.apply(variables, normalize(x_u8),

@@ -118,6 +118,29 @@ def test_adaptive_auto_matches_direct(setup, skip):  # noqa: F811
     assert got == want
 
 
+def test_adaptive_ctx_ladder_matches_plain(setup):  # noqa: F811
+    """With ``ctx_ladder`` the driver sizes a sound first rung from the
+    device-side bound and decodes identically to the plain driver."""
+    codec, clm, scorer, c2l, l2c = setup
+    args = _prep(_dense_char_line(T=160, n_chars=40, seed=9))
+    kw = dict(beam_size=4, depth=6, unknown_id=codec.unknown_id,
+              lm_panelty=0.7, len_bonus=1.5, skip_search=True,
+              run_max=1)
+    plain = AdaptiveLMBeam(clm, c2l, l2c, **kw)
+    want = codec.compact_to_texts(*plain.decode(*args))
+
+    laddered = AdaptiveLMBeam(clm, c2l, l2c, ctx_ladder=16, **kw)
+    got = codec.compact_to_texts(*laddered.decode(*args))
+    assert laddered._ladder_k >= 8      # the ladder actually engaged
+    assert got == want
+
+    # a rung >= the chosen ctx must quietly disable the ladder
+    off = AdaptiveLMBeam(clm, c2l, l2c, ctx_ladder=4096, **kw)
+    got_off = codec.compact_to_texts(*off.decode(*args))
+    assert off._ladder_k == 0
+    assert got_off == want
+
+
 def test_adaptive_pinned_seg_budget_too_small_raises(setup):  # noqa: F811
     codec, clm, scorer, c2l, l2c = setup
     args = _prep(_peaky_preds(T=16, B=2, seed=1).astype(np.float32))
@@ -210,6 +233,35 @@ def test_count_stats_matches_host_helpers():
         # full-search mode passes n_above=None: chars/end must still match
         got_none = [int(x) for x in stats(jnp.asarray(ci), None)]
         assert got_none[:2] == want[:2]
+
+
+def test_count_ladder_matches_host_helper():
+    """The device ladder sizing (``make_count_ladder``) must equal the
+    host ``count_ladder_segments`` bound on random batches, across rung
+    depths, run_max values, and the no-constraint (short-line) case."""
+    from handwritten_chinese_ocr_samples_tpu.decode.beam_lm_device import (
+        count_ladder_segments, make_count_ladder)
+    rng = np.random.default_rng(11)
+    D, unknown_id = 8, 7
+    for trial in range(12):
+        B = int(rng.integers(1, 5))
+        T = int(rng.integers(4, 60))
+        run_max = int(rng.integers(1, 5))
+        arg = rng.integers(0, D, (B, T))
+        if trial == 0:
+            arg[0] = 0                        # empty line: all blank
+        n_above = np.where(rng.random((B, T)) < 0.7, 1,
+                           rng.integers(2, 5, (B, T))).astype(np.int32)
+        ci = np.zeros((B, T, 3), np.int64)
+        ci[:, :, 0] = arg
+
+        ladder = make_count_ladder(unknown_id=unknown_id, run_max=run_max)
+        for ctx1 in (2, 4, 8, 1000):          # 1000: nothing constrains
+            got = int(ladder(jnp.asarray(ci), jnp.asarray(n_above), ctx1))
+            want = count_ladder_segments(ci, n_above, ctx1=ctx1,
+                                         unknown_id=unknown_id,
+                                         run_max=run_max)
+            assert got == want, (trial, B, T, run_max, ctx1, got, want)
 
 
 def _ctx_only_beam(max_len, **kw):
