@@ -96,9 +96,15 @@ class AdaptiveLMBeam:
         self._fb = 0        # full search: static frame budget (grow-only)
         self._peek = 0      # skip search: peek-row budget (grow-only)
         # KV-context ladder: first-rung depth (0 = off); the rung length
-        # (segments) is sized per batch from the device-side sound bound
-        # and quantized DOWN (shorter first rungs stay sound)
+        # (segments) derives from a RUNNING MIN of the per-batch sound
+        # bounds (each batch's bound is sound for it, so the min is sound
+        # for all seen batches) — monotone like the other knobs, bounding
+        # recompiles to a shrinking chain
+        if int(ctx_ladder) < 0:
+            raise ValueError(f"ctx_ladder={ctx_ladder} must be >= 0 "
+                             f"(0 = off; otherwise the first-rung depth)")
         self._ladder_ctx = int(ctx_ladder)
+        self._ladder_bound = 1 << 30
         self._ladder_k = 0
         self._fns = {}
         self._stats = None  # lazy jitted device-side knob-sizing maxima
@@ -218,17 +224,21 @@ class AdaptiveLMBeam:
                 # scan length is a first-order cost (seg 52 vs 56 = +7%)
                 self._budget = -(-max(seg_max + 1, 16) // 4) * 4
             if self._ladder_ctx and self._ladder_ctx < self._ctx:
-                # sound per-batch first-rung length, quantized DOWN to
-                # multiples of 8 (shorter rungs remain sound) and leaving
-                # at least one full-depth segment; too-short rungs are
-                # not worth the extra program
+                # running-min sound bound, quantized DOWN to multiples of
+                # 8 (shorter rungs remain sound) and clamped inside the
+                # program's own segment count min(budget, T) so the
+                # ladder can't be silently dropped by decode_one; rungs
+                # under 8 segments are not worth the extra program
                 if self._ladder is None:
                     from .beam_lm_device import make_count_ladder
                     self._ladder = make_count_ladder(
                         unknown_id=self.unknown_id, run_max=self.run_max)
-                k = int(jax.device_get(self._ladder(
-                    cand_idx, n_above, self._ladder_ctx)))
-                k = min(k // 8 * 8, self._budget - 1)
+                self._ladder_bound = min(
+                    self._ladder_bound,
+                    int(jax.device_get(self._ladder(
+                        cand_idx, n_above, self._ladder_ctx))))
+                k = min(self._ladder_bound // 8 * 8,
+                        min(self._budget, int(T)) - 1)
                 self._ladder_k = k if k >= 8 else 0
             else:
                 self._ladder_k = 0

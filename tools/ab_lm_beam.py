@@ -10,8 +10,9 @@ Variants (select with --only substring match):
   xla            tuned default (XLA target/LSE, one-hot gather)
   lse-pallas     streaming flash-LSE kernel (HCTR_LSE_PALLAS=1)
   gather-pallas  DMA cache gather kernel (HCTR_GATHER_PALLAS=1)
-  g4 / g16       group-size probes around the tuned G=8
+  g4 / g32       group-size probes around the tuned G=8 (16 faults)
   peek-full      compaction off (peek_rows=None)
+  ladder64/96    KV-context ladder first rungs (when < --lm-ctx)
 
 All variants must decode IDENTICAL texts (asserted) — they are exact
 reformulations; a mismatch is a bug, not a tuning result.
@@ -135,13 +136,12 @@ def main():
                 p, l, ovf = fn(cv, ci, logits, logz, blank_lp, n_above)
                 p, l = np.asarray(p), np.asarray(l)
                 times.append(time.perf_counter() - t0)
-            if np.asarray(ovf).any():
-                print(f"  {name}: OVERFLOW on "
-                      f"{int(np.asarray(ovf).sum())} lines", flush=True)
             texts = codec.compact_to_texts(p, l)
             if texts0 is None:
                 texts0 = texts
             match = "==" if texts == texts0 else "** MISMATCH **"
+            if np.asarray(ovf).any():
+                match = f"ovf x{int(np.asarray(ovf).sum())}"
             dt = min(times)
             rows.append((name, B / dt, dt / B * 1000, compile_s, match))
             print(f"  {name}: {B / dt:.2f} lines/sec "
@@ -157,6 +157,11 @@ def main():
     print("\nvariant            lines/sec   ms/line  compile  decodes")
     for name, lps, ms, cs, match in rows:
         print(f"{name:18s} {lps:9.2f} {ms:9.0f} {cs:8.0f}  {match}")
+    bad = [name for name, _, _, _, match in rows if match != "=="]
+    if bad:
+        # exactness is the gate for every tuning decision made from this
+        # matrix — a mismatching or failed variant must not exit 0
+        sys.exit(f"FAIL: variants did not decode identically: {bad}")
 
 
 if __name__ == "__main__":
