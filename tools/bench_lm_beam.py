@@ -46,13 +46,18 @@ def main():
     ap.add_argument("--peek-rows", type=int, default=-1,
                     help="peek-row compaction budget (-1 = auto via "
                          "count_peek_rows, 0 = off)")
+    ap.add_argument("--ctx-ladder", type=int, default=0,
+                    help="KV-context ladder first-rung depth (0 = off); "
+                         "the rung length auto-sizes from the sound "
+                         "count_ladder_segments bound")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
     from handwritten_chinese_ocr_samples_tpu.core.codec import CTCCodec
     from handwritten_chinese_ocr_samples_tpu.decode.beam_lm_device import (
-        count_kept_frames, count_peek_rows, count_segments, make_id_tables,
+        count_kept_frames, count_ladder_segments, count_peek_rows,
+        count_segments, make_id_tables,
         make_lm_beam_search)
     from handwritten_chinese_ocr_samples_tpu.lm.cached import CachedLM
     from handwritten_chinese_ocr_samples_tpu.lm.model import CharTransformerLM
@@ -109,6 +114,19 @@ def main():
     else:
         peek_rows = args.peek_rows or None
     print(f"peek rows: {peek_rows} (of {2 * args.depth})")
+    ladder = None
+    if args.ctx_ladder and skip:
+        if args.ctx_ladder >= args.lm_ctx:
+            print(f"WARNING: --ctx-ladder {args.ctx_ladder} >= lm_ctx "
+                  f"{args.lm_ctx} — ladder disabled")
+        else:
+            k1 = min(count_ladder_segments(
+                np.asarray(ci), np.asarray(n_above), ctx1=args.ctx_ladder,
+                unknown_id=codec.unknown_id, run_max=args.runmax),
+                args.seg_budget - 1)
+            if k1 >= 1:
+                ladder = (k1, args.ctx_ladder)
+            print(f"ladder: {ladder} (first k segments at the small rung)")
     group = args.group if B % args.group == 0 else 1
     if group != args.group:
         print(f"WARNING: batch {B} not divisible by group {args.group} "
@@ -123,6 +141,7 @@ def main():
         run_max=args.runmax,
         peek_rows=peek_rows,
         return_overflow=True,
+        ctx_ladder=ladder,
         frame_budget=None if skip else (args.frame_budget or None))
 
     def run_once():
