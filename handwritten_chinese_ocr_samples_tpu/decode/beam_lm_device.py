@@ -73,7 +73,8 @@ class LMBeamState(NamedTuple):
 
 def _grouped_peek(clm: CachedLM, cache: LMCache, tokens: jnp.ndarray,
                   n_tokens: jnp.ndarray, next_logp: jnp.ndarray,
-                  *, full_kv: bool = False, want_last: bool = False):
+                  *, full_kv: bool = False, want_last: bool = False,
+                  extra_kv=None, pos_offset=None):
     """Score token continuations grouped by parent beam.
 
     ``tokens (BM, R, S1)``: LM-token sequences continuing each parent's
@@ -97,8 +98,16 @@ def _grouped_peek(clm: CachedLM, cache: LMCache, tokens: jnp.ndarray,
     ``want_last=True`` appends the log-probs at each row's LAST valid
     position ``n_tokens-1`` (BM, R, V) — the next-token distribution after
     the whole row, needed when committing a multi-token run.
+
+    ``extra_kv=(ek, ev, en)`` injects per-beam NOT-YET-COMMITTED context:
+    ``ek/ev (layers, BM, E, H, Dh)`` k/v for ``en (BM,)`` tokens that sit
+    (causally) between the cache and the rows — the deferred run commit.
+    Every query position attends them (masked by ``r < en``); positions
+    shift by ``pos_offset (BM,)`` (= ``en``) so embeddings line up with
+    where those tokens WILL live in the cache.
     """
-    from ..ops.peek_attention import (merge_partials, peek_cache_attention,
+    from ..ops.peek_attention import (combine_partials, merge_partials,
+                                      peek_cache_attention,
                                       peek_cache_attention_xla)
 
     BM, R, S1 = tokens.shape
@@ -115,8 +124,10 @@ def _grouped_peek(clm: CachedLM, cache: LMCache, tokens: jnp.ndarray,
     Sc = S1 if (want_last or S1 == 1) else S1 - 1
     tokens_c = tokens[:, :, :Sc]
 
-    # absolute positions: cache length + 0..Sc-1
-    pos = cache.lengths[:, None, None] + jnp.arange(Sc)[None, None, :]
+    # absolute positions: cache length (+ deferred tokens) + 0..Sc-1
+    base = cache.lengths if pos_offset is None else (cache.lengths
+                                                     + pos_offset)
+    pos = base[:, None, None] + jnp.arange(Sc)[None, None, :]
     h = clm._embed_token(tokens_c, pos)                        # (BM, R, Sc, d)
     s_ids = jnp.arange(Sc)
     causal = s_ids[None, :] <= s_ids[:, None]  # key t visible to query s iff t<=s
@@ -150,6 +161,21 @@ def _grouped_peek(clm: CachedLM, cache: LMCache, tokens: jnp.ndarray,
         o1 = o1.reshape(BM, R, Sc, clm.n_heads, clm.d_head)
         m1 = m1.reshape(BM, R, Sc, clm.n_heads)
         l1 = l1.reshape(BM, R, Sc, clm.n_heads)
+        if extra_kv is not None:
+            # deferred-run part: E per-beam keys between cache and rows,
+            # fully visible to every query, masked by r < en — plain XLA
+            ek, ev, en = extra_kv
+            sc3 = jnp.einsum("brshk,behk->brshe", qs, ek[li],
+                             preferred_element_type=jnp.float32)
+            e_ok = (jnp.arange(ek.shape[2])[None, :]
+                    < en[:, None])[:, None, None, None, :]
+            sc3 = jnp.where(e_ok, sc3, NEG_INF)
+            m3 = jnp.max(sc3, axis=-1)
+            p3 = jnp.where(e_ok, jnp.exp(sc3 - m3[..., None]), 0.0)
+            l3 = jnp.sum(p3, axis=-1)
+            o3 = jnp.einsum("brshe,behk->brshk", p3.astype(ev.dtype),
+                            ev[li], preferred_element_type=jnp.float32)
+            o1, m1, l1 = combine_partials(o1, m1, l1, o3, m3, l3)
         # own-row causal part: Sc keys — a few KB, plain XLA
         sc_own = jnp.einsum("brshk,brthk->brsht", qs, k,
                             preferred_element_type=jnp.float32)
@@ -253,6 +279,7 @@ def make_lm_beam_search(
     peek_rows: int | None = None,
     return_overflow: bool = False,
     ctx_ladder: tuple[int, int] | None = None,
+    fused_commit: bool = False,
 ):
     """Build a jitted LM-fused beam search.
 
@@ -317,6 +344,13 @@ def make_lm_beam_search(
     commits at most one token per kept frame, so the bound cannot be
     beaten by any beam path).
 
+    ``fused_commit=True`` (skip mode) defers the run phase's multi-token
+    cache write: the ambiguous frame's peek attends the run k/v directly
+    (``extra_kv``) and the post-merge reorder write commits run tokens +
+    extension token in ONE full-cache pass per segment instead of two.
+    Exact — the attention context and every write are identical, only
+    when the bytes land in HBM changes.
+
     ``frame_budget`` (full search only) statically truncates the frame
     scan: frames at or beyond every line's ``end_step`` (last greedy char
     + ``suffix_frames``, `ctc_codec.py:198-199`) are inactive no-ops, so a
@@ -346,6 +380,9 @@ def make_lm_beam_search(
             raise ValueError(
                 f"ctx_ladder={ctx_ladder} must be (segments >= 1, "
                 f"0 < ctx1 < lm_ctx={lm_ctx})")
+    if fused_commit and not skip_search:
+        raise ValueError("fused_commit requires skip_search=True "
+                         "(there is no run phase to defer otherwise)")
     S = suffix_frames
     S1 = S + 1
     sos = 0  # tokenizer.sos_index
@@ -408,8 +445,13 @@ def make_lm_beam_search(
             ovf=jnp.zeros((), bool),
         )
 
-        def full_step(state, t, active):
-            """One full-search frame (`ctc_codec.py:183-285`)."""
+        def full_step(state, t, active, run_kv=None):
+            """One full-search frame (`ctc_codec.py:183-285`).
+
+            ``run_kv=(ek, ev, en)`` (fused-commit mode): the preceding
+            run phase's not-yet-committed k/v — the peek attends them via
+            ``extra_kv`` and the reorder write below commits them
+            together with the extension token in one cache pass."""
             vis_idx = cand_idx[t]                              # (K,)
             vis_p = cand_vals[t]                               # (K,)
             if skip_search:
@@ -529,7 +571,9 @@ def make_lm_beam_search(
             peek_tokens = jnp.concatenate([stay_tokens, ext_tokens], axis=1)
             peek_n = jnp.concatenate([stay_n, ext_n], axis=1)  # (BM, 1+P)
             peek_scores, peek_logp0, peek_k0, peek_v0 = _grouped_peek(
-                clm, state.cache, peek_tokens, peek_n, state.next_logp)
+                clm, state.cache, peek_tokens, peek_n, state.next_logp,
+                extra_kv=run_kv,
+                pos_offset=None if run_kv is None else run_kv[2])
             # pt per row = (parent_prefix_score + continuation) * panelty
             #              + len * bonus
             slot = jnp.where(
@@ -607,11 +651,46 @@ def make_lm_beam_search(
             k_sel = peek_k0[:, sel_parent, sel_slot]   # (layers, BM, H, Dh)
             v_sel = peek_v0[:, sel_parent, sel_slot]
             Lc = state.cache.k.shape[2]     # current rung's cache depth
-            glen = state.cache.lengths[reorder]
-            wpos = jnp.where(do_step, glen, Lc)
-            new_cache = CachedLM.gather_write(
-                state.cache, reorder, k_sel.astype(clm.dtype),
-                v_sel.astype(clm.dtype), wpos)._replace(
+            if run_kv is None:
+                glen = state.cache.lengths[reorder]
+                wpos = jnp.where(do_step, glen, Lc)
+                new_cache = CachedLM.gather_write(
+                    state.cache, reorder, k_sel.astype(clm.dtype),
+                    v_sel.astype(clm.dtype), wpos)._replace(
+                        lengths=jnp.where(do_step, glen + 1, glen))
+            else:
+                # Fused commit: ONE full-cache pass merges (a) the beam
+                # reorder (one-hot matmul), (b) the deferred run tokens of
+                # the new parent at positions lengths..lengths+n_com-1,
+                # and (c) the extension token at lengths+n_com. Replaces
+                # the separate run-write pass + gather_write pass.
+                ek, ev, en = run_kv
+                ek_r = ek[:, reorder]       # (layers, BM, RM, H, Dh)
+                ev_r = ev[:, reorder]
+                n_r = en[reorder]
+                base = state.cache.lengths[reorder]
+                glen = base + n_r
+                wpos = jnp.where(do_step, glen, Lc)
+                t_ids2 = jnp.arange(Lc)
+                rr = jnp.arange(ek.shape[2])[None, None, :]
+                roff2 = t_ids2[None, :, None] - base[:, None, None]
+                w_oh2 = (roff2 == rr) & (rr < n_r[:, None, None])
+                run_any = jnp.any(w_oh2, axis=2)            # (BM, L)
+                soh = w_oh2.astype(clm.dtype)
+                k_runw = jnp.einsum("btr,zbrhd->zbthd", soh, ek_r)
+                v_runw = jnp.einsum("btr,zbrhd->zbthd", soh, ev_r)
+                sel = (reorder[:, None]
+                       == jnp.arange(BM)[None, :]).astype(clm.dtype)
+                k_perm = jnp.einsum("pb,zb...->zp...", sel, state.cache.k)
+                v_perm = jnp.einsum("pb,zb...->zp...", sel, state.cache.v)
+                ext_m = (t_ids2[None, :] == wpos[:, None])[None, :, :,
+                                                           None, None]
+                run_m = run_any[None, :, :, None, None]
+                new_cache = LMCache(
+                    k=jnp.where(ext_m, k_sel.astype(clm.dtype)[:, :, None],
+                                jnp.where(run_m, k_runw, k_perm)),
+                    v=jnp.where(ext_m, v_sel.astype(clm.dtype)[:, :, None],
+                                jnp.where(run_m, v_runw, v_perm)),
                     lengths=jnp.where(do_step, glen + 1, glen))
             new_next_logp = jnp.where(
                 do_step[:, None],
@@ -712,12 +791,29 @@ def make_lm_beam_search(
             total, _lp0, k_full, v_full, last_lp = _grouped_peek(
                 clm, state.cache, ctok[:, None, :], n_com[:, None],
                 state.next_logp, full_kv=True, want_last=True)
+            L_ctx = state.cache.k.shape[2]
+            new_state = LMBeamState(
+                prefixes=prefixes, lengths=lengths, pb=pb, pnb=pnb,
+                h1=h1, h2=h2,
+                prefix_score=state.prefix_score + total[:, 0],
+                next_logp=jnp.where(n_com[:, None] > 0, last_lp[:, 0],
+                                    state.next_logp),
+                cache=state.cache,     # written below or deferred
+                ovf=state.ovf | jnp.any(state.cache.lengths + n_com > L_ctx),
+            )
+            if fused_commit:
+                # Defer the multi-token cache write: the ambiguous frame's
+                # peek attends these k/v directly (extra_kv) and the
+                # post-merge reorder write commits them in the SAME
+                # full-cache pass — one pass per segment instead of two.
+                run_kv = (k_full[:, :, 0].astype(clm.dtype),
+                          v_full[:, :, 0].astype(clm.dtype), n_com)
+                return new_state, run_kv
             # Masked multi-token write without scatter: position t receives
             # run token r iff t - lengths == r < n_com — a (BM, L, RM)
             # one-hot contraction (RM tiny) with a select against the old
             # cache, streaming-friendly on TPU where per-row dynamic
             # scatter serializes.
-            L_ctx = state.cache.k.shape[2]
             t_ids = jnp.arange(L_ctx)
             roff = t_ids[None, :, None] - state.cache.lengths[:, None, None]
             w_oh = ((roff == r_ids[:, None, :])
@@ -729,20 +825,11 @@ def make_lm_beam_search(
             v_run = jnp.einsum("btr,zbrhd->zbthd", sel_oh,
                                v_full[:, :, 0].astype(clm.dtype))
             m_any = w_any[None, :, :, None, None]
-            new_cache = LMCache(
+            return new_state._replace(cache=LMCache(
                 k=jnp.where(m_any, k_run, state.cache.k),
                 v=jnp.where(m_any, v_run, state.cache.v),
                 lengths=state.cache.lengths + n_com,
-            )
-            return LMBeamState(
-                prefixes=prefixes, lengths=lengths, pb=pb, pnb=pnb,
-                h1=h1, h2=h2,
-                prefix_score=state.prefix_score + total[:, 0],
-                next_logp=jnp.where(n_com[:, None] > 0, last_lp[:, 0],
-                                    state.next_logp),
-                cache=new_cache,
-                ovf=state.ovf | jnp.any(state.cache.lengths + n_com > L_ctx),
-            )
+            ))
 
         if skip_search:
             # ---- frame compaction (`ctc_codec.py:124-181` semantics).
@@ -831,14 +918,18 @@ def make_lm_beam_search(
 
             def seg_step(state, xs):
                 cf_t, amb_t = xs
-                state = run_phase(state, cf_t, preA, preB)
+                if fused_commit:
+                    state, run_kv = run_phase(state, cf_t, preA, preB)
+                else:
+                    state = run_phase(state, cf_t, preA, preB)
+                    run_kv = None
                 a_on = amb_t >= 0
                 ta = jnp.clip(amb_t, 0)
                 state = state._replace(
                     pb=_logaddexp(
                         jnp.where(a_on, preA[ta], 0.0) + state.pb,
                         jnp.where(a_on, preB[ta], NEG_INF) + state.pnb))
-                return full_step(state, ta, a_on)
+                return full_step(state, ta, a_on, run_kv=run_kv)
 
             if ladder is not None:
                 k1, ctx1 = ladder

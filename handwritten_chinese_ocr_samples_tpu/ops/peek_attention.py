@@ -150,3 +150,14 @@ def merge_partials(o1, m1, l1, o2, m2, l2):
     denom = l1 * a1 + l2 * a2
     out = o1 * a1[..., None] + o2 * a2[..., None]
     return out / jnp.maximum(denom, 1e-30)[..., None]
+
+
+def combine_partials(o1, m1, l1, o2, m2, l2):
+    """Unnormalized flash combine: one partial equivalent to having
+    attended both sources, chainable (associative) before a final
+    ``merge_partials``. Same shape/masking conventions."""
+    m = jnp.maximum(m1, m2)
+    a1 = jnp.where(l1 > 0, jnp.exp(m1 - m), 0.0)
+    a2 = jnp.where(l2 > 0, jnp.exp(m2 - m), 0.0)
+    return (o1 * a1[..., None] + o2 * a2[..., None], m,
+            l1 * a1 + l2 * a2)

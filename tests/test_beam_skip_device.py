@@ -318,6 +318,75 @@ def test_skip_device_ctx_ladder_exact(setup):
             ctx_ladder=(2, 8))
 
 
+def test_skip_device_fused_commit_exact(setup):
+    """Deferring the run phase's cache write into the post-merge reorder
+    pass (fused_commit) is bit-identical to the two-pass flow — grouped,
+    ungrouped, and combined with the context ladder — and matches the
+    host oracle."""
+    codec, clm, scorer, c2l, l2c = setup
+    BM, K = 4, 6
+    cfg = BeamSearchConfig(beam_size=BM, search_depth=K, lm_panelty=0.7,
+                           len_bonus=1.5, use_lm_pred=True,
+                           use_lm_score=True, skip_search=True,
+                           prune_log_prob=PRUNE)
+    host = BeamSearchDecoder(codec, JaxLMBackend(scorer), cfg)
+
+    logits_tbd = _peaky_preds(T=32, B=4, seed=27)
+    want = host.decode(log_softmax(logits_tbd, axis=2), already_log=True)
+    logits_btd = jnp.asarray(logits_tbd.transpose(1, 0, 2))
+    cv, ci, blank_lp, n_above = topk_logsoftmax_xla(logits_btd, k=K,
+                                                    prune=PRUNE)
+    logz = jax.scipy.special.logsumexp(
+        logits_btd.astype(jnp.float32), axis=-1)
+
+    base = dict(beam_size=BM, depth=K, unknown_id=codec.unknown_id,
+                lm_panelty=0.7, len_bonus=1.5, lm_ctx=64,
+                use_lm_pred=True, skip_search=True, prune=PRUNE,
+                return_overflow=True)
+    for group, ladder in ((1, None), (2, None), (1, (2, 16))):
+        fn = make_lm_beam_search(clm, c2l, l2c, group_size=group,
+                                 fused_commit=True, ctx_ladder=ladder,
+                                 **base)
+        prefixes, lengths, ovf = fn(cv, ci, logits_btd, logz, blank_lp,
+                                    n_above)
+        assert not bool(np.asarray(ovf).any())
+        assert codec.compact_to_texts(prefixes, lengths) == want, \
+            (group, ladder)
+
+    # crafted line: a confident char RUN directly before an ambiguous
+    # frame, so the deferred run k/v are genuinely attended by the peek
+    # (with random peaky data an ambiguous frame could always follow an
+    # empty run, leaving the extra-kv path trivially masked)
+    rng = np.random.default_rng(3)
+    D = len(CHARS) + 2
+    lt = rng.normal(size=(24, 1, D)).astype(np.float32) * 0.2
+    lt[:, 0, 0] += 12.0                        # confident blank baseline
+    for i, t in enumerate((4, 6, 8, 10)):      # blank-separated cf run
+        lt[t, 0, 0] -= 12.0
+        lt[t, 0, 1 + i] += 12.0
+    lt[12, 0, 0] -= 12.0                       # ambiguous: two near-equal
+    lt[12, 0, 5] += 11.3
+    lt[12, 0, 6] += 11.0
+    want2 = host.decode(log_softmax(lt, axis=2), already_log=True)
+    lbtd = jnp.asarray(lt.transpose(1, 0, 2))
+    cv2_, ci2, bl2, na2 = topk_logsoftmax_xla(lbtd, k=K, prune=PRUNE)
+    lz2 = jax.scipy.special.logsumexp(lbtd.astype(jnp.float32), axis=-1)
+    assert int(np.asarray(na2)[0, 12]) > 1     # the frame IS ambiguous
+    for fused in (False, True):
+        fn = make_lm_beam_search(clm, c2l, l2c, group_size=1,
+                                 fused_commit=fused, **base)
+        p2, l2_, ovf2 = fn(cv2_, ci2, lbtd, lz2, bl2, na2)
+        assert not bool(np.asarray(ovf2).any())
+        assert codec.compact_to_texts(p2, l2_) == want2, fused
+
+    with pytest.raises(ValueError, match="fused_commit"):
+        make_lm_beam_search(
+            clm, c2l, l2c, beam_size=BM, depth=K,
+            unknown_id=codec.unknown_id, lm_panelty=0.7, len_bonus=1.5,
+            lm_ctx=64, use_lm_pred=True, skip_search=False,
+            fused_commit=True)
+
+
 def test_full_search_peek_rows_noop(setup):
     """Full (non-skip) search has no pruned candidates: a peek budget of
     K + M is a no-op and must decode identically to the default."""

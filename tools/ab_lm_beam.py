@@ -12,7 +12,9 @@ Variants (select with --only substring match):
   gather-pallas  DMA cache gather kernel (HCTR_GATHER_PALLAS=1)
   g4 / g32       group-size probes around the tuned G=8 (16 faults)
   peek-full      compaction off (peek_rows=None)
+  fused          deferred run commit (one cache pass per segment)
   ladder64/96    KV-context ladder first rungs (when < --lm-ctx)
+  fused+ladderN  both combined
 
 All variants must decode IDENTICAL texts (asserted) — they are exact
 reformulations; a mismatch is a bug, not a tuning result.
@@ -114,7 +116,10 @@ def main():
         ("g4", {}, dict(group_size=4, peek_rows=pr)),
         ("g32", {}, dict(group_size=32, peek_rows=pr)),
         ("peek-full", {}, dict(group_size=8, peek_rows=None)),
+        ("fused", {}, dict(group_size=8, peek_rows=pr, fused_commit=True)),
         *ladders,
+        *[(f"fused+{n}", {}, dict(kw, fused_commit=True))
+          for n, _, kw in ladders],
     ]
     want = args.only.split(",") if args.only else None
     rows, texts0 = [], None
