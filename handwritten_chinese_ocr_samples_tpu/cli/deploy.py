@@ -68,6 +68,8 @@ def build_argparser():
     args.add_argument("--run-max", dest="run_max", type=int, default=8)
     args.add_argument("--ctx-ladder", dest="ctx_ladder", type=int,
                       default=0)
+    args.add_argument("--fused-commit", dest="fused_commit",
+                      action="store_true")
     args.add_argument("--lm-f32", dest="lm_f32", action="store_true")
     return parser
 
@@ -111,7 +113,8 @@ def main():
         skip_search=args.skip_search,
         lm_ctx=args.lm_ctx, lm_group=args.lm_group,
         seg_budget=args.seg_budget, run_max=args.run_max,
-        ctx_ladder=args.ctx_ladder, lm_f32=args.lm_f32)
+        ctx_ladder=args.ctx_ladder, fused_commit=args.fused_commit,
+        lm_f32=args.lm_f32)
 
     if os.path.isfile(args.input):
         files = [args.input]

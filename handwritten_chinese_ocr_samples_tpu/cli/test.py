@@ -86,6 +86,11 @@ def build_argparser():
                            "climbing to the full context (0 = off; exact "
                            "— the rung length is sized per batch from a "
                            "sound bound)")
+    args.add_argument("--fused-commit", dest="fused_commit",
+                      action="store_true",
+                      help="defer the run phase's KV-cache write into the "
+                           "post-merge reorder pass (one full-cache pass "
+                           "per segment instead of two; exact)")
     args.add_argument("--lm-f32", dest="lm_f32", action="store_true",
                       help="run the fused LM in float32 (default bfloat16)")
     args.add_argument("-jw", "--workers", type=int, metavar="N", default=4,

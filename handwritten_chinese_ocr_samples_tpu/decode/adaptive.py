@@ -70,7 +70,8 @@ class AdaptiveLMBeam:
                  len_bonus: float, use_lm_pred: bool = True,
                  skip_search: bool = True, group_size: int = 8,
                  lm_ctx: int = 0, seg_budget: int = 0, run_max: int = 8,
-                 ctx_ladder: int = 0, mesh=None, verbose: bool = False):
+                 ctx_ladder: int = 0, fused_commit: bool = False,
+                 mesh=None, verbose: bool = False):
         self._clm = clm
         self._c2l = codec2lm
         self._l2c = lm2codec
@@ -106,6 +107,7 @@ class AdaptiveLMBeam:
         self._ladder_ctx = int(ctx_ladder)
         self._ladder_bound = 1 << 30
         self._ladder_k = 0
+        self._fused = bool(fused_commit) and self.skip
         self._fns = {}
         self._stats = None  # lazy jitted device-side knob-sizing maxima
         self._ladder = None  # lazy jitted device-side ladder sizing
@@ -161,6 +163,7 @@ class AdaptiveLMBeam:
                     group_size=group, peek_rows=self._peek or None,
                     ctx_ladder=((self._ladder_k, self._ladder_ctx)
                                 if self._ladder_k else None),
+                    fused_commit=self._fused,
                     **self._kw)
             else:
                 fn = make_lm_beam_search(

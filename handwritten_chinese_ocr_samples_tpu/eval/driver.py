@@ -154,6 +154,7 @@ class EvalSession:
                 seg_budget=getattr(args, "seg_budget", 0),
                 run_max=getattr(args, "run_max", 8),
                 ctx_ladder=getattr(args, "ctx_ladder", 0),
+                fused_commit=getattr(args, "fused_commit", False),
                 verbose=True)
 
             @jax.jit

@@ -95,6 +95,7 @@ class ServingEngine:
                  seg_budget: int = 0,
                  run_max: int = 8,
                  ctx_ladder: int = 0,
+                 fused_commit: bool = False,
                  lm_f32: bool = False):
         import jax
         import jax.numpy as jnp
@@ -141,7 +142,7 @@ class ServingEngine:
                 len_bonus=len_bonus, use_lm_pred=use_lm_pred,
                 skip_search=self._skip, group_size=lm_group,
                 lm_ctx=lm_ctx, seg_budget=seg_budget, run_max=run_max,
-                ctx_ladder=ctx_ladder)
+                ctx_ladder=ctx_ladder, fused_commit=fused_commit)
 
             def infer(variables, x_u8):
                 logits = model.apply(variables, normalize(x_u8),

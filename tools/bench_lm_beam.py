@@ -50,6 +50,9 @@ def main():
                     help="KV-context ladder first-rung depth (0 = off); "
                          "the rung length auto-sizes from the sound "
                          "count_ladder_segments bound")
+    ap.add_argument("--fused-commit", action="store_true",
+                    help="defer the run commit into the reorder write "
+                         "(one cache pass per segment; exact)")
     args = ap.parse_args()
 
     import jax
@@ -142,6 +145,7 @@ def main():
         peek_rows=peek_rows,
         return_overflow=True,
         ctx_ladder=ladder,
+        fused_commit=args.fused_commit and skip,
         frame_budget=None if skip else (args.frame_budget or None))
 
     def run_once():
