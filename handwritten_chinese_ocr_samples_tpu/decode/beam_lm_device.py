@@ -342,7 +342,10 @@ def make_lm_beam_search(
     ``ctx1`` tokens within the first ``segs1`` segments; size the pair
     with ``count_ladder_segments`` for a sound per-batch bound (a beam
     commits at most one token per kept frame, so the bound cannot be
-    beaten by any beam path).
+    beaten by any beam path). A LIST of ``(segs, ctx)`` rungs (strictly
+    increasing in both) chains several depths — e.g. ``[(k64, 64),
+    (k96, 96)]`` climbs 64 -> 96 -> lm_ctx; each rung's ``segs`` is its
+    own ``count_ladder_segments`` bound for its ``ctx``.
 
     ``fused_commit=True`` (skip mode) defers the run phase's multi-token
     cache write: the ambiguous frame's peek attends the run k/v directly
@@ -376,10 +379,19 @@ def make_lm_beam_search(
     if ctx_ladder is not None:
         if not skip_search:
             raise ValueError("ctx_ladder requires skip_search=True")
-        if not (0 < ctx_ladder[1] < lm_ctx) or ctx_ladder[0] < 1:
-            raise ValueError(
-                f"ctx_ladder={ctx_ladder} must be (segments >= 1, "
-                f"0 < ctx1 < lm_ctx={lm_ctx})")
+        # normalize: one (segs, ctx) pair or a list of rungs
+        rungs = (list(ctx_ladder) if ctx_ladder
+                 and isinstance(ctx_ladder[0], (tuple, list))
+                 else [tuple(ctx_ladder)])
+        for i, (k_r, c_r) in enumerate(rungs):
+            prev_k = rungs[i - 1][0] if i else 0
+            prev_c = rungs[i - 1][1] if i else 0
+            if not (prev_c < c_r < lm_ctx) or k_r <= prev_k or k_r < 1:
+                raise ValueError(
+                    f"ctx_ladder={ctx_ladder}: rungs must be strictly "
+                    f"increasing (segments, ctx) pairs with every ctx "
+                    f"< lm_ctx={lm_ctx}")
+        ctx_ladder = rungs
     if fused_commit and not skip_search:
         raise ValueError("fused_commit requires skip_search=True "
                          "(there is no run phase to defer otherwise)")
@@ -418,18 +430,19 @@ def make_lm_beam_search(
 
         # A ladder spanning every segment would leave the cache at the
         # small rung for the whole decode (breaking the lm_ctx contract)
-        # — only ladder when a full-depth second chunk remains.
+        # — keep only rungs that leave a full-depth final chunk.
         _budget = T if kept_budget is None else min(kept_budget, T)
         _SB = _budget if seg_budget is None else min(seg_budget, _budget)
-        ladder = (ctx_ladder if ctx_ladder is not None
-                  and ctx_ladder[0] < _SB else None)
+        ladder = None
+        if ctx_ladder is not None:
+            ladder = [r for r in ctx_ladder if r[0] < _SB] or None
 
         # ---- init state: all beams share an sos-primed cache (at the
         # ladder's first-rung depth when laddering — the step/peek/reorder
         # machinery derives every shape and overflow bound from the
-        # cache itself, so the same step functions serve both rungs)
+        # cache itself, so the same step functions serve every rung)
         cache = clm.init_cache(
-            BM, lm_ctx if ladder is None else ladder[1])
+            BM, lm_ctx if ladder is None else ladder[0][1])
         logits0, cache = clm.step(cache, jnp.full((BM,), sos, jnp.int32))
         next_logp0 = jax.nn.log_softmax(logits0, axis=-1)
         state = LMBeamState(
@@ -932,18 +945,22 @@ def make_lm_beam_search(
                 return full_step(state, ta, a_on, run_kv=run_kv)
 
             if ladder is not None:
-                k1, ctx1 = ladder
+                prev = 0
+                for i, (k1, ctx1) in enumerate(ladder):
+                    state, _ = jax.lax.scan(
+                        seg_step, state,
+                        (cf_map[prev:k1], amb_map[prev:k1]))
+                    # climb to the next rung: zero-pad the cache depth
+                    # (all reads mask by ``lengths`` — pad rows stay dead)
+                    nxt = ladder[i + 1][1] if i + 1 < len(ladder) else lm_ctx
+                    grow = ((0, 0), (0, 0), (0, nxt - ctx1), (0, 0), (0, 0))
+                    state = state._replace(cache=LMCache(
+                        k=jnp.pad(state.cache.k, grow),
+                        v=jnp.pad(state.cache.v, grow),
+                        lengths=state.cache.lengths))
+                    prev = k1
                 state, _ = jax.lax.scan(
-                    seg_step, state, (cf_map[:k1], amb_map[:k1]))
-                # climb to the full rung: zero-pad the cache depth (all
-                # reads mask by ``lengths``, so the pad rows stay dead)
-                grow = ((0, 0), (0, 0), (0, lm_ctx - ctx1), (0, 0), (0, 0))
-                state = state._replace(cache=LMCache(
-                    k=jnp.pad(state.cache.k, grow),
-                    v=jnp.pad(state.cache.v, grow),
-                    lengths=state.cache.lengths))
-                state, _ = jax.lax.scan(
-                    seg_step, state, (cf_map[k1:], amb_map[k1:]))
+                    seg_step, state, (cf_map[prev:], amb_map[prev:]))
             else:
                 state, _ = jax.lax.scan(seg_step, state, (cf_map, amb_map))
             # blank-fast frames after the last kept frame

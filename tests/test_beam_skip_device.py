@@ -292,7 +292,14 @@ def test_skip_device_ctx_ladder_exact(setup):
                 lm_panelty=0.7, len_bonus=1.5, lm_ctx=64,
                 use_lm_pred=True, skip_search=True, prune=PRUNE,
                 seg_budget=segs + 1, return_overflow=True)
-    for group, ladder in ((1, (min(k1, segs), ctx1)), (2, (1, ctx1))):
+    ladders = [(1, (min(k1, segs), ctx1)), (2, (1, ctx1))]
+    ctx2 = ctx1 * 2
+    if ctx2 < 64:
+        k2 = count_ladder_segments(ci, n_above, ctx1=ctx2,
+                                   unknown_id=codec.unknown_id)
+        if k2 > k1:      # a genuine second rung exists in this data
+            ladders.append((1, [(k1, ctx1), (min(k2, segs), ctx2)]))
+    for group, ladder in ladders:
         fn = make_lm_beam_search(clm, c2l, l2c, group_size=group,
                                  ctx_ladder=ladder, **base)
         prefixes, lengths, ovf = fn(cv, ci, logits_btd, logz, blank_lp,

@@ -99,6 +99,13 @@ def main():
             ladders.append((f"ladder{ctx1}", {},
                             dict(group_size=8, peek_rows=pr,
                                  ctx_ladder=(k1, ctx1))))
+    if len(ladders) == 2:
+        (k64, c64) = ladders[0][2]["ctx_ladder"]
+        (k96, c96) = ladders[1][2]["ctx_ladder"]
+        if k96 > k64:
+            ladders.append((f"ladder{c64}+{c96}", {},
+                            dict(group_size=8, peek_rows=pr,
+                                 ctx_ladder=[(k64, c64), (k96, c96)])))
 
     base = dict(beam_size=10, depth=10, unknown_id=codec.unknown_id,
                 lm_panelty=0.8, len_bonus=4.8, lm_ctx=args.lm_ctx,
