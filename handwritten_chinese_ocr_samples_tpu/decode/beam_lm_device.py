@@ -58,6 +58,24 @@ def make_id_tables(codec, tokenizer):
     return codec2lm, lm2codec
 
 
+def _run_write(base, n_com, Lc, k_tok, v_tok):
+    """One-hot multi-token run write: position t of beam b receives run
+    token r iff ``t - base[b] == r < n_com[b]`` — a (B, L, RM) one-hot
+    contraction (RM tiny), streaming-friendly on TPU where per-row
+    dynamic scatter serializes. ``k_tok/v_tok (layers, B, RM, H, Dh)``
+    already in the cache dtype. Returns ``(k_rows, v_rows,
+    written (B, L))``; positions past ``Lc`` simply never match."""
+    RM = k_tok.shape[2]
+    t_ids = jnp.arange(Lc)
+    r_ids = jnp.arange(RM)[None, None, :]
+    roff = t_ids[None, :, None] - base[:, None, None]
+    w_oh = (roff == r_ids) & (r_ids < n_com[:, None, None])
+    soh = w_oh.astype(k_tok.dtype)
+    return (jnp.einsum("btr,zbrhd->zbthd", soh, k_tok),
+            jnp.einsum("btr,zbrhd->zbthd", soh, v_tok),
+            jnp.any(w_oh, axis=2))
+
+
 class LMBeamState(NamedTuple):
     prefixes: jnp.ndarray      # (BM, L) codec ids
     lengths: jnp.ndarray       # (BM,)
@@ -351,8 +369,12 @@ def make_lm_beam_search(
     cache write: the ambiguous frame's peek attends the run k/v directly
     (``extra_kv``) and the post-merge reorder write commits run tokens +
     extension token in ONE full-cache pass per segment instead of two.
-    Exact — the attention context and every write are identical, only
-    when the bytes land in HBM changes.
+    Mathematically the same attention context and writes; numerically
+    the flash combine regroups the softmax reduction (cache and run
+    partials merge via ``combine_partials`` instead of one sum), so
+    scores can differ in low-order float bits — a hypothesis pair tied
+    within ~1 ULP at the beam boundary could in principle rank
+    differently (decode-equal on the oracle suite).
 
     ``frame_budget`` (full search only) statically truncates the frame
     scan: frames at or beyond every line's ``end_step`` (last greedy char
@@ -678,32 +700,21 @@ def make_lm_beam_search(
                 # and (c) the extension token at lengths+n_com. Replaces
                 # the separate run-write pass + gather_write pass.
                 ek, ev, en = run_kv
-                ek_r = ek[:, reorder]       # (layers, BM, RM, H, Dh)
-                ev_r = ev[:, reorder]
                 n_r = en[reorder]
                 base = state.cache.lengths[reorder]
                 glen = base + n_r
                 wpos = jnp.where(do_step, glen, Lc)
-                t_ids2 = jnp.arange(Lc)
-                rr = jnp.arange(ek.shape[2])[None, None, :]
-                roff2 = t_ids2[None, :, None] - base[:, None, None]
-                w_oh2 = (roff2 == rr) & (rr < n_r[:, None, None])
-                run_any = jnp.any(w_oh2, axis=2)            # (BM, L)
-                soh = w_oh2.astype(clm.dtype)
-                k_runw = jnp.einsum("btr,zbrhd->zbthd", soh, ek_r)
-                v_runw = jnp.einsum("btr,zbrhd->zbthd", soh, ev_r)
-                sel = (reorder[:, None]
-                       == jnp.arange(BM)[None, :]).astype(clm.dtype)
-                k_perm = jnp.einsum("pb,zb...->zp...", sel, state.cache.k)
-                v_perm = jnp.einsum("pb,zb...->zp...", sel, state.cache.v)
-                ext_m = (t_ids2[None, :] == wpos[:, None])[None, :, :,
-                                                           None, None]
+                k_runw, v_runw, run_any = _run_write(
+                    base, n_r, Lc, ek[:, reorder], ev[:, reorder])
+                perm = CachedLM.gather(state.cache, reorder)
+                ext_m = (jnp.arange(Lc)[None, :]
+                         == wpos[:, None])[None, :, :, None, None]
                 run_m = run_any[None, :, :, None, None]
                 new_cache = LMCache(
                     k=jnp.where(ext_m, k_sel.astype(clm.dtype)[:, :, None],
-                                jnp.where(run_m, k_runw, k_perm)),
+                                jnp.where(run_m, k_runw, perm.k)),
                     v=jnp.where(ext_m, v_sel.astype(clm.dtype)[:, :, None],
-                                jnp.where(run_m, v_runw, v_perm)),
+                                jnp.where(run_m, v_runw, perm.v)),
                     lengths=jnp.where(do_step, glen + 1, glen))
             new_next_logp = jnp.where(
                 do_step[:, None],
@@ -822,21 +833,12 @@ def make_lm_beam_search(
                 run_kv = (k_full[:, :, 0].astype(clm.dtype),
                           v_full[:, :, 0].astype(clm.dtype), n_com)
                 return new_state, run_kv
-            # Masked multi-token write without scatter: position t receives
-            # run token r iff t - lengths == r < n_com — a (BM, L, RM)
-            # one-hot contraction (RM tiny) with a select against the old
-            # cache, streaming-friendly on TPU where per-row dynamic
-            # scatter serializes.
-            t_ids = jnp.arange(L_ctx)
-            roff = t_ids[None, :, None] - state.cache.lengths[:, None, None]
-            w_oh = ((roff == r_ids[:, None, :])
-                    & (r_ids[:, None, :] < n_com[:, None, None]))
-            w_any = jnp.any(w_oh, axis=2)                   # (BM, L)
-            sel_oh = w_oh.astype(clm.dtype)
-            k_run = jnp.einsum("btr,zbrhd->zbthd", sel_oh,
-                               k_full[:, :, 0].astype(clm.dtype))
-            v_run = jnp.einsum("btr,zbrhd->zbthd", sel_oh,
-                               v_full[:, :, 0].astype(clm.dtype))
+            # Immediate masked multi-token write (``_run_write``) with a
+            # select against the old cache.
+            k_run, v_run, w_any = _run_write(
+                state.cache.lengths, n_com, L_ctx,
+                k_full[:, :, 0].astype(clm.dtype),
+                v_full[:, :, 0].astype(clm.dtype))
             m_any = w_any[None, :, :, None, None]
             return new_state._replace(cache=LMCache(
                 k=jnp.where(m_any, k_run, state.cache.k),

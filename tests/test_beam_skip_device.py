@@ -297,7 +297,9 @@ def test_skip_device_ctx_ladder_exact(setup):
     if ctx2 < 64:
         k2 = count_ladder_segments(ci, n_above, ctx1=ctx2,
                                    unknown_id=codec.unknown_id)
-        if k2 > k1:      # a genuine second rung exists in this data
+        # a genuine second rung must stay strictly increasing AFTER the
+        # clamp to the segment count
+        if min(k2, segs) > min(k1, segs) and k1 < segs:
             ladders.append((1, [(k1, ctx1), (min(k2, segs), ctx2)]))
     for group, ladder in ladders:
         fn = make_lm_beam_search(clm, c2l, l2c, group_size=group,
@@ -327,9 +329,11 @@ def test_skip_device_ctx_ladder_exact(setup):
 
 def test_skip_device_fused_commit_exact(setup):
     """Deferring the run phase's cache write into the post-merge reorder
-    pass (fused_commit) is bit-identical to the two-pass flow — grouped,
-    ungrouped, and combined with the context ladder — and matches the
-    host oracle."""
+    pass (fused_commit) decodes identically to the two-pass flow —
+    grouped, ungrouped, and combined with the context ladder — and
+    matches the host oracle. (Equality is at decode level: the flash
+    combine regroups the softmax reduction, so low-order float bits of
+    scores may differ.)"""
     codec, clm, scorer, c2l, l2c = setup
     BM, K = 4, 6
     cfg = BeamSearchConfig(beam_size=BM, search_depth=K, lm_panelty=0.7,

@@ -123,10 +123,13 @@ def main():
             print(f"WARNING: --ctx-ladder {args.ctx_ladder} >= lm_ctx "
                   f"{args.lm_ctx} — ladder disabled")
         else:
+            # cap inside the program's OWN segment count min(kept budget,
+            # seg budget) — decode_one drops any rung at/past it, which
+            # would silently time an unladdered program
             k1 = min(count_ladder_segments(
                 np.asarray(ci), np.asarray(n_above), ctx1=args.ctx_ladder,
                 unknown_id=codec.unknown_id, run_max=args.runmax),
-                args.seg_budget - 1)
+                min(args.budget, args.seg_budget) - 1)
             if k1 >= 1:
                 ladder = (k1, args.ctx_ladder)
             print(f"ladder: {ladder} (first k segments at the small rung)")
@@ -134,6 +137,9 @@ def main():
     if group != args.group:
         print(f"WARNING: batch {B} not divisible by group {args.group} "
               f"— running ungrouped")
+    if args.fused_commit and not skip:
+        print("WARNING: --fused-commit only applies to skip mode "
+              "— ignored with --no-skip")
     fn = make_lm_beam_search(
         clm, c2l, l2c, beam_size=args.beam, depth=args.depth,
         unknown_id=codec.unknown_id, lm_panelty=0.8, len_bonus=4.8,
