@@ -120,6 +120,22 @@ def test_device_lm_beam_matches_direct(setup, jax_lm, skip):
         assert got == want, (f, skip)
 
 
+def test_engine_plumbs_decode_knobs(setup, jax_lm):
+    """ctx_ladder / fused_commit reach the adaptive decoder through the
+    ServingEngine constructor (the CLI relies on this passthrough)."""
+    codec, model, variables, files = setup
+    engine = ServingEngine(model, variables, codec, widths=(128,),
+                           decode_method="beam-search", beam_size=4,
+                           search_depth=5, lm_panelty=0.7, len_bonus=1.5,
+                           lm=jax_lm, use_lm_pred=True, use_lm_score=True,
+                           skip_search=True, lm_ctx=128,
+                           ctx_ladder=16, fused_commit=True, lm_f32=True)
+    assert engine._lm_beam._ladder_ctx == 16
+    assert engine._lm_beam._fused is True
+    texts, _ = engine.infer_files(files[:1])   # decodes end to end
+    assert isinstance(texts[0], str)
+
+
 def test_host_skip_beam_matches_direct(setup):
     codec, model, variables, files = setup
     from handwritten_chinese_ocr_samples_tpu.decode.beam_host import (
