@@ -298,6 +298,7 @@ def make_lm_beam_search(
     return_overflow: bool = False,
     ctx_ladder: tuple[int, int] | None = None,
     fused_commit: bool = False,
+    dense_merge: bool = False,
 ):
     """Build a jitted LM-fused beam search.
 
@@ -375,6 +376,13 @@ def make_lm_beam_search(
     scores can differ in low-order float bits — a hypothesis pair tied
     within ~1 ULP at the beam boundary could in principle rank
     differently (decode-equal on the oracle suite).
+
+    ``dense_merge=True`` replaces the per-step (hash, hash, index) sort +
+    segmented scan with an O(rows^2) equality-matrix merge (same
+    representative row, same groups; group logaddexp computed max+exp-sum
+    instead of the pairwise chain — decode-equal, low-order float bits
+    may differ). Sorting networks are a known soft spot on TPU; rows^2
+    is ~50k VPU lanes at beam shapes.
 
     ``frame_budget`` (full search only) statically truncates the frame
     scan: frames at or beyond every line's ``end_step`` (last greedy char
@@ -622,28 +630,58 @@ def make_lm_beam_search(
                 row_len.astype(jnp.float32) * len_bonus
 
             # ---- merge + select
-            # sort only (keys, row index); payloads follow by gather — the
-            # variadic 10-operand sort moved every column through the
-            # sorting network and profiled ~1 ms/step at beam shapes
-            kh1_s, kh2_s, order_s = jax.lax.sort(
-                (kh1, kh2, jnp.arange(n_rows, dtype=jnp.int32)), num_keys=2)
-            pb_s = row_pb[order_s]
-            pnb_s = row_pnb[order_s]
-            pt_s = row_pt[order_s]
-            par_s = row_parent[order_s]
-            chr_s = row_char[order_s]
-            ext_s = row_is_ext[order_s]
-            dead_s = row_dead[order_s]
-            slot_s = slot[order_s]
-            seg_start = jnp.concatenate(
-                [jnp.array([True]),
-                 (kh1_s[1:] != kh1_s[:-1]) | (kh2_s[1:] != kh2_s[:-1])])
-            # per-row values are suffix aggregates; only segment-start
-            # rows (the ones consumed below) carry full segment totals
-            pb_m = _segment_logaddexp_sorted(pb_s, seg_start)
-            pnb_m = _segment_logaddexp_sorted(pnb_s, seg_start)
-            total = _logaddexp(pb_m, pnb_m) + pt_s
-            total = jnp.where(seg_start & ~dead_s, total, NEG_INF)
+            if dense_merge:
+                # O(rows^2) hash-equality merge: no sorting network. The
+                # group representative is the min-index row (same row the
+                # stable sort's segment start lands on); group logaddexp
+                # is max + exp-sum (exact; low-order float bits can
+                # differ from the sorted pairwise chain). rows^2 at beam
+                # shapes is ~50k lanes of VPU work per step.
+                idx_r = jnp.arange(n_rows)
+                eq = (kh1[:, None] == kh1[None, :]) & \
+                     (kh2[:, None] == kh2[None, :])
+                is_rep = ~jnp.any(eq & (idx_r[None, :] < idx_r[:, None]),
+                                  axis=1)
+
+                def g_lse(x):
+                    mx = jnp.max(jnp.where(eq, x[None, :], NEG_INF),
+                                 axis=1)
+                    s = jnp.sum(jnp.where(eq, jnp.exp(x[None, :]
+                                                      - mx[:, None]), 0.0),
+                                axis=1)
+                    return jnp.where(mx <= NEG_INF * 0.5, NEG_INF,
+                                     mx + jnp.log(s))
+
+                pb_m = g_lse(row_pb)
+                pnb_m = g_lse(row_pnb)
+                total = _logaddexp(pb_m, pnb_m) + row_pt
+                total = jnp.where(is_rep & ~row_dead, total, NEG_INF)
+                par_s, chr_s, ext_s, slot_s = (row_parent, row_char,
+                                               row_is_ext, slot)
+            else:
+                # sort only (keys, row index); payloads follow by gather —
+                # the variadic 10-operand sort moved every column through
+                # the sorting network and profiled ~1 ms/step
+                kh1_s, kh2_s, order_s = jax.lax.sort(
+                    (kh1, kh2, jnp.arange(n_rows, dtype=jnp.int32)),
+                    num_keys=2)
+                pb_s = row_pb[order_s]
+                pnb_s = row_pnb[order_s]
+                pt_s = row_pt[order_s]
+                par_s = row_parent[order_s]
+                chr_s = row_char[order_s]
+                ext_s = row_is_ext[order_s]
+                dead_s = row_dead[order_s]
+                slot_s = slot[order_s]
+                seg_start = jnp.concatenate(
+                    [jnp.array([True]),
+                     (kh1_s[1:] != kh1_s[:-1]) | (kh2_s[1:] != kh2_s[:-1])])
+                # per-row values are suffix aggregates; only segment-start
+                # rows (the ones consumed below) carry full segment totals
+                pb_m = _segment_logaddexp_sorted(pb_s, seg_start)
+                pnb_m = _segment_logaddexp_sorted(pnb_s, seg_start)
+                total = _logaddexp(pb_m, pnb_m) + pt_s
+                total = jnp.where(seg_start & ~dead_s, total, NEG_INF)
 
             top_tot, top_idx = jax.lax.top_k(total, BM)
             sel_parent = par_s[top_idx]

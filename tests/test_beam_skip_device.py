@@ -354,15 +354,17 @@ def test_skip_device_fused_commit_exact(setup):
                 lm_panelty=0.7, len_bonus=1.5, lm_ctx=64,
                 use_lm_pred=True, skip_search=True, prune=PRUNE,
                 return_overflow=True)
-    for group, ladder in ((1, None), (2, None), (1, (2, 16))):
+    for group, ladder, dense in ((1, None, False), (2, None, False),
+                                 (1, (2, 16), False), (1, None, True),
+                                 (2, None, True)):
         fn = make_lm_beam_search(clm, c2l, l2c, group_size=group,
                                  fused_commit=True, ctx_ladder=ladder,
-                                 **base)
+                                 dense_merge=dense, **base)
         prefixes, lengths, ovf = fn(cv, ci, logits_btd, logz, blank_lp,
                                     n_above)
         assert not bool(np.asarray(ovf).any())
         assert codec.compact_to_texts(prefixes, lengths) == want, \
-            (group, ladder)
+            (group, ladder, dense)
 
     # crafted line: a confident char RUN directly before an ambiguous
     # frame, so the deferred run k/v are genuinely attended by the peek

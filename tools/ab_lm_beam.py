@@ -124,6 +124,10 @@ def main():
         ("g32", {}, dict(group_size=32, peek_rows=pr)),
         ("peek-full", {}, dict(group_size=8, peek_rows=None)),
         ("fused", {}, dict(group_size=8, peek_rows=pr, fused_commit=True)),
+        ("dense-merge", {}, dict(group_size=8, peek_rows=pr,
+                                 dense_merge=True)),
+        ("fused+dense", {}, dict(group_size=8, peek_rows=pr,
+                                 fused_commit=True, dense_merge=True)),
         *ladders,
         *[(f"fused+{n}", {}, dict(kw, fused_commit=True))
           for n, _, kw in ladders],
