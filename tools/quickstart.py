@@ -118,7 +118,6 @@ def main():
     elif not os.path.isfile(os.path.join(args.out, "chars_list.txt")):
         ap.error("need --demo or --dgrl (or an already-prepared --out)")
 
-    from handwritten_chinese_ocr_samples_tpu.core.codec import load_chars_list
     from handwritten_chinese_ocr_samples_tpu.models.registry import (
         get_model_info)
     from handwritten_chinese_ocr_samples_tpu.train.trainer import (
