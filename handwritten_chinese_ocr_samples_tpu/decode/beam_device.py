@@ -86,7 +86,8 @@ def _segment_logaddexp_sorted(vals, seg_starts):
     return vv[::-1]
 
 
-@partial(jax.jit, static_argnames=("beam_size", "unknown_id", "blank_id"))
+@partial(jax.jit, static_argnames=("beam_size", "unknown_id", "blank_id",
+                                   "dense_merge"))
 def beam_search_from_topk(
     cand_vals: jnp.ndarray,       # (B, T, K) top-K log-probs, descending
     cand_idx: jnp.ndarray,        # (B, T, K) class indices
@@ -96,11 +97,18 @@ def beam_search_from_topk(
     blank_id: int = 0,
     len_bonus: float = 0.0,
     suffix_frames: int = 4,
+    dense_merge: bool = False,
 ):
     """Batched prefix beam search over precomputed per-frame top-K
     candidates (the only posterior information the search consumes; pair
     with ``ops.topk_logsoftmax`` to avoid materializing the full (B, T, D)
-    log-prob tensor). Returns (prefixes (B, T) int32, lengths (B,))."""
+    log-prob tensor). Returns (prefixes (B, T) int32, lengths (B,)).
+
+    ``dense_merge=True`` swaps the per-frame multi-operand sort for an
+    O(rows^2) hash-equality merge (same groups, same representative row;
+    group logaddexp via max+exp-sum — decode-equal, low-order float bits
+    may differ). The sort runs once per FRAME here, so it is a large
+    share of the decode; rows^2 = (BM*(K+1))^2 ~ 12k VPU lanes."""
     B, T, K = cand_vals.shape
     L = T  # worst-case prefix length
 
@@ -189,29 +197,59 @@ def beam_search_from_topk(
             kh2 = jnp.where(row_dead, jnp.arange(n_rows, dtype=jnp.int32),
                             kh2)
 
-            # ---- sort by (kh1, kh2) and merge equal keys. One fused
-            # multi-operand lax.sort carries the payload columns along
-            # (int64 is unavailable on TPU by default, hence two int32 key
-            # lanes instead of one 64-bit key).
-            (kh1_s, kh2_s, pb_s, pnb_s, len_s, par_s, chr_s, ext_i_s,
-             dead_i_s) = jax.lax.sort(
-                (kh1, kh2, row_pb, row_pnb, row_len, row_parent, row_char,
-                 row_is_ext.astype(jnp.int32), row_dead.astype(jnp.int32)),
-                num_keys=2)
-            ext_s = ext_i_s.astype(bool)
-            dead_s = dead_i_s.astype(bool)
-            seg_start = jnp.concatenate(
-                [jnp.array([True]),
-                 (kh1_s[1:] != kh1_s[:-1]) | (kh2_s[1:] != kh2_s[:-1])])
-            # per-row values are suffix aggregates; only segment-start
-            # rows (the ones consumed below) carry full segment totals
-            pb_m = _segment_logaddexp_sorted(pb_s, seg_start)
-            pnb_m = _segment_logaddexp_sorted(pnb_s, seg_start)
+            if dense_merge:
+                # O(rows^2) equality-matrix merge: no sorting network.
+                # Representative = min-index row of each hash group (the
+                # row the stable sort's segment start lands on).
+                idx_r = jnp.arange(n_rows)
+                eq = (kh1[:, None] == kh1[None, :]) & \
+                     (kh2[:, None] == kh2[None, :])
+                is_rep = ~jnp.any(
+                    eq & (idx_r[None, :] < idx_r[:, None]), axis=1)
 
-            # score only at segment starts; others suppressed
-            total = _logaddexp(pb_m, pnb_m) + \
-                len_s.astype(jnp.float32) * len_bonus
-            total = jnp.where(seg_start & ~dead_s, total, NEG_INF)
+                def g_lse(x):
+                    mx = jnp.max(jnp.where(eq, x[None, :], NEG_INF),
+                                 axis=1)
+                    s = jnp.sum(jnp.where(eq, jnp.exp(x[None, :]
+                                                      - mx[:, None]), 0.0),
+                                axis=1)
+                    return jnp.where(mx <= NEG_INF * 0.5, NEG_INF,
+                                     mx + jnp.log(s))
+
+                pb_m = g_lse(row_pb)
+                pnb_m = g_lse(row_pnb)
+                total = _logaddexp(pb_m, pnb_m) + \
+                    row_len.astype(jnp.float32) * len_bonus
+                total = jnp.where(is_rep & ~row_dead, total, NEG_INF)
+                par_s, chr_s, ext_s = row_parent, row_char, row_is_ext
+            else:
+                # ---- sort by (kh1, kh2) and merge equal keys: sort only
+                # (keys, row index); payloads follow by gather (the fused
+                # multi-operand sort moves every column through the
+                # sorting network). Two int32 key lanes — int64 is
+                # unavailable on TPU by default.
+                kh1_s, kh2_s, order_s = jax.lax.sort(
+                    (kh1, kh2, jnp.arange(n_rows, dtype=jnp.int32)),
+                    num_keys=2)
+                pb_s = row_pb[order_s]
+                pnb_s = row_pnb[order_s]
+                len_s = row_len[order_s]
+                par_s = row_parent[order_s]
+                chr_s = row_char[order_s]
+                ext_s = row_is_ext[order_s]
+                dead_s = row_dead[order_s]
+                seg_start = jnp.concatenate(
+                    [jnp.array([True]),
+                     (kh1_s[1:] != kh1_s[:-1]) | (kh2_s[1:] != kh2_s[:-1])])
+                # per-row values are suffix aggregates; only segment-start
+                # rows (the ones consumed below) carry full segment totals
+                pb_m = _segment_logaddexp_sorted(pb_s, seg_start)
+                pnb_m = _segment_logaddexp_sorted(pnb_s, seg_start)
+
+                # score only at segment starts; others suppressed
+                total = _logaddexp(pb_m, pnb_m) + \
+                    len_s.astype(jnp.float32) * len_bonus
+                total = jnp.where(seg_start & ~dead_s, total, NEG_INF)
 
             # ---- select top BM segments
             top_tot, top_idx = jax.lax.top_k(total, BM)
@@ -263,17 +301,18 @@ def beam_search_device(
     blank_id: int = 0,
     len_bonus: float = 0.0,
     suffix_frames: int = 4,
+    dense_merge: bool = False,
 ):
     """Full-posterior entry: XLA top-K then the fixed-shape search."""
     cand_vals, cand_idx = jax.lax.top_k(logp, depth)
     return beam_search_from_topk(
         cand_vals, cand_idx.astype(jnp.int32), beam_size=beam_size,
         unknown_id=unknown_id, blank_id=blank_id, len_bonus=len_bonus,
-        suffix_frames=suffix_frames)
+        suffix_frames=suffix_frames, dense_merge=dense_merge)
 
 
 @partial(jax.jit, static_argnames=("beam_size", "depth", "unknown_id",
-                                   "blank_id"))
+                                   "blank_id", "dense_merge"))
 def beam_search_fused(
     logits: jnp.ndarray,          # (B, T, D) RAW logits
     *,
@@ -283,14 +322,24 @@ def beam_search_fused(
     blank_id: int = 0,
     len_bonus: float = 0.0,
     suffix_frames: int = 4,
+    dense_merge: bool = False,
 ):
     """Production TPU entry: Pallas fused log-softmax+top-K feeds the
-    search — the (B, T, D) log-prob tensor is never materialized."""
+    search — the (B, T, D) log-prob tensor is never materialized. Pass
+    ``dense_merge=dense_merge_default()`` to honor ``HCTR_DENSE_MERGE``
+    (resolved OUTSIDE jit so the cache keys on the value)."""
     from ..ops.topk_logsoftmax import topk_logsoftmax
     cand_vals, cand_idx, _blank, _n = topk_logsoftmax(logits, k=depth)
     return beam_search_from_topk(
         cand_vals, cand_idx, beam_size=beam_size, unknown_id=unknown_id,
-        blank_id=blank_id, len_bonus=len_bonus, suffix_frames=suffix_frames)
+        blank_id=blank_id, len_bonus=len_bonus, suffix_frames=suffix_frames,
+        dense_merge=dense_merge)
+
+
+def dense_merge_default() -> bool:
+    """Opt-in default for the per-frame dense merge (``HCTR_DENSE_MERGE``)."""
+    import os
+    return bool(os.environ.get("HCTR_DENSE_MERGE"))
 
 
 def beam_texts(codec, logp, beam_size=10, depth=10, len_bonus=0.0):

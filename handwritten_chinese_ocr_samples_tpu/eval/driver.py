@@ -114,13 +114,17 @@ class EvalSession:
         beam_size, depth = args.beam_size, args.search_depth
         len_bonus = args.len_bonus
 
+        from ..decode.beam_device import (beam_search_fused,
+                                          dense_merge_default)
+        dense = dense_merge_default()
+
         @jax.jit
         def forward_beam(variables, x):
-            from ..decode.beam_device import beam_search_fused
             logits = model.apply(variables, x, train=False)
             return beam_search_fused(
                 logits, beam_size=beam_size, depth=depth,
-                unknown_id=unknown_id, len_bonus=len_bonus)
+                unknown_id=unknown_id, len_bonus=len_bonus,
+                dense_merge=dense)
 
         self._forward = forward
         self._forward_greedy = forward_greedy

@@ -153,14 +153,17 @@ class ServingEngine:
                     logits.astype(jnp.float32), axis=-1)
                 return cv, ci, logits, logz, blank_lp, n_above
         elif self._device_beam:
-            from ..decode.beam_device import beam_search_fused
+            from ..decode.beam_device import (beam_search_fused,
+                                              dense_merge_default)
+            dense = dense_merge_default()
 
             def infer(variables, x_u8):
                 logits = model.apply(variables, normalize(x_u8),
                                      train=False)
                 return beam_search_fused(
                     logits, beam_size=beam_size, depth=search_depth,
-                    unknown_id=unknown_id, len_bonus=len_bonus)
+                    unknown_id=unknown_id, len_bonus=len_bonus,
+                    dense_merge=dense)
         elif self._host_beam_mode:
             from ..decode.beam_host import (BeamSearchConfig,
                                             BeamSearchDecoder)

@@ -41,11 +41,18 @@ def test_fused_beam_matches_unfused():
     v, i, _b, _n = topk_logsoftmax(jnp.asarray(logits), k=5, interpret=True)
     p2, l2 = beam_search_from_topk(v, i, beam_size=4,
                                    unknown_id=codec.unknown_id)
+    # dense O(rows^2) merge must decode identically to the sorted merge
+    p3, l3 = beam_search_from_topk(v, i, beam_size=4,
+                                   unknown_id=codec.unknown_id,
+                                   dense_merge=True)
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l3))
     for b in range(2):
         n = int(np.asarray(l1)[b])
         np.testing.assert_array_equal(np.asarray(p1)[b, :n],
                                       np.asarray(p2)[b, :n])
+        np.testing.assert_array_equal(np.asarray(p1)[b, :n],
+                                      np.asarray(p3)[b, :n])
 
 
 def test_peek_cache_attention_interpret():
