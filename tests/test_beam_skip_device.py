@@ -400,6 +400,34 @@ def test_skip_device_fused_commit_exact(setup):
             fused_commit=True)
 
 
+def test_plain_device_beam_matches_host():
+    """The no-LM device beam search (both merge lowerings) transcribes
+    identically to the host prefix decoder — the host side is itself
+    oracle-equal to the reference codec (test_beam_search.py)."""
+    from handwritten_chinese_ocr_samples_tpu.decode.beam_device import (
+        beam_search_from_topk,
+    )
+    from handwritten_chinese_ocr_samples_tpu.ops.topk_logsoftmax import (
+        topk_logsoftmax_xla,
+    )
+    codec = CTCCodec(CHARS)
+    cfg = BeamSearchConfig(beam_size=4, search_depth=5, lm_panelty=0.0,
+                           len_bonus=0.0, use_lm_pred=False,
+                           use_lm_score=False)
+    host = BeamSearchDecoder(codec, None, cfg)
+    for seed in (0, 7, 21):
+        lt = _peaky_preds(T=24, B=3, seed=seed)
+        want = host.decode(log_softmax(lt, axis=2), already_log=True)
+        lbtd = jnp.asarray(lt.transpose(1, 0, 2))
+        cv, ci, _, _ = topk_logsoftmax_xla(lbtd, k=5)
+        for dense in (False, True):
+            p, l = beam_search_from_topk(cv, ci, beam_size=4,
+                                         unknown_id=codec.unknown_id,
+                                         dense_merge=dense)
+            got = codec.compact_to_texts(p, l)
+            assert got == want, (seed, dense)
+
+
 def test_full_search_peek_rows_noop(setup):
     """Full (non-skip) search has no pruned candidates: a peek budget of
     K + M is a no-op and must decode identically to the default."""
