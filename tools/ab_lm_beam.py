@@ -156,6 +156,18 @@ def main():
             if texts0 is None:
                 texts0 = texts
             match = "==" if texts == texts0 else "** MISMATCH **"
+            if texts != texts0:
+                diffs = [i for i, (a, b) in enumerate(zip(texts0, texts))
+                         if a != b]
+                print(f"    {len(diffs)}/{B} lines differ: {diffs}")
+                for i in diffs[:3]:
+                    a, b = texts0[i], texts[i]
+                    pos = next((j for j, (x, y) in enumerate(zip(a, b))
+                                if x != y), min(len(a), len(b)))
+                    print(f"    line {i} (len {len(a)} vs {len(b)}) first "
+                          f"diff at char {pos}: "
+                          f"...{a[max(0, pos-3):pos+3]!r} vs "
+                          f"{b[max(0, pos-3):pos+3]!r}...")
             if np.asarray(ovf).any():
                 match = f"ovf x{int(np.asarray(ovf).sum())}"
             dt = min(times)
