@@ -42,14 +42,19 @@ class KenLMBackend:
     """N-gram scoring, space-joined characters, no EOS.
 
     Matches the reference's n-gram path (`ctc_codec.py:120-122,276-281`).
-    Uses the kenlm C++ binding when installed; otherwise falls back to the
-    first-party ARPA reader (``lm/arpa.py``), which reproduces
-    ``kenlm.Model.score`` exactly (same Katz-backoff log10 math) for
-    ``.arpa``/text models. The binary ``.klm`` format requires kenlm.
+    Accepts three model formats: the first-party HBLM binary (mmap,
+    instant load — ``lm/hblm.py``, built with ``cli.lm_binarize``), text
+    ARPA via kenlm when installed or the first-party reader
+    (``lm/arpa.py``, which reproduces ``kenlm.Model.score`` exactly), and
+    binary KenLM ``.klm`` when the kenlm package is present.
     """
 
     def __init__(self, model_path: str):
         self.path = model_path
+        from ..lm.hblm import HblmLM, is_hblm
+        if is_hblm(model_path):
+            self.model = HblmLM(model_path)
+            return
         try:
             import kenlm  # optional dependency, as in the reference
             self.model = kenlm.Model(model_path)
@@ -59,9 +64,11 @@ class KenLMBackend:
                 self.model = ArpaLM(model_path)
             except (UnicodeDecodeError, ValueError) as e:
                 raise ValueError(
-                    f"{model_path}: not a text ARPA file. Binary KenLM "
-                    "(.klm) models need the `kenlm` package, which is not "
-                    "installed — export the model as text ARPA instead."
+                    f"{model_path}: neither text ARPA nor HBLM. Binary "
+                    "KenLM (.klm) needs the `kenlm` package, which is not "
+                    "installed — convert the ARPA with `python -m "
+                    "handwritten_chinese_ocr_samples_tpu.cli.lm_binarize` "
+                    "or pass the text ARPA file instead."
                 ) from e
 
     def score_batch(self, texts: Sequence[str]) -> np.ndarray:

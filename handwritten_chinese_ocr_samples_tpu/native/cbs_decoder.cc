@@ -16,6 +16,11 @@
 //
 // Build: make libcbsdecoder.so   (see Makefile)
 
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
@@ -45,8 +50,41 @@ std::string PackKey(const int32_t* ids, int n) {
                      static_cast<size_t>(n) * sizeof(int32_t));
 }
 
+// --------------------------------------------------------------- NgramLM
+// Backend-agnostic n-gram model: text ARPA (hash maps built at load) or
+// the first-party HBLM binary (zero-copy mmap; see lm/hblm.py for the
+// format spec — both loaders score with identical Katz-backoff math).
+class NgramLM {
+ public:
+  virtual ~NgramLM() = default;
+  virtual int order() const = 0;
+  virtual int unk_id() const = 0;
+  virtual int bos_id() const = 0;
+  virtual int eos_id() const = 0;
+  // id of a word with a unigram entry; -1 otherwise (callers map to <unk>)
+  virtual int KnownWordId(const std::string& w) const = 0;
+  // log10 p(word | context), context capped to order-1, ids pre-mapped
+  virtual double LogProb(const int32_t* ctx, int n, int32_t word) const = 0;
+
+  // kenlm.Model.score on a word-id sequence (bos always on, as the
+  // decoder uses it; eos optional).
+  double Score(const int32_t* words, int n, bool eos) const {
+    std::vector<int32_t> ctx;
+    ctx.push_back(bos_id());
+    double total = 0.0;
+    auto step = [&](int32_t w) {
+      int take = std::min<int>(order() - 1, static_cast<int>(ctx.size()));
+      total += LogProb(ctx.data() + ctx.size() - take, take, w);
+      ctx.push_back(w);
+    };
+    for (int i = 0; i < n; ++i) step(words[i]);
+    if (eos) step(eos_id());
+    return total;
+  }
+};
+
 // ---------------------------------------------------------------- ArpaLM
-class ArpaLM {
+class ArpaLM : public NgramLM {
  public:
   bool Load(const std::string& path) {
     std::ifstream f(path);
@@ -89,14 +127,14 @@ class ArpaLM {
     return unk_id_ >= 0;
   }
 
-  int order() const { return order_; }
-  int unk_id() const { return unk_id_; }
-  int bos_id() const { return bos_id_; }
-  int eos_id() const { return eos_id_; }
+  int order() const override { return order_; }
+  int unk_id() const override { return unk_id_; }
+  int bos_id() const override { return bos_id_; }
+  int eos_id() const override { return eos_id_; }
 
   // id of a word that HAS a unigram entry; -1 otherwise (callers map to
   // <unk>, mirroring lm/arpa.py::_known)
-  int KnownWordId(const std::string& w) const {
+  int KnownWordId(const std::string& w) const override {
     auto it = vocab_.find(w);
     if (it == vocab_.end()) return -1;
     int32_t id = it->second;
@@ -105,7 +143,7 @@ class ArpaLM {
 
   // log10 p(word | context) with Katz backoff; context already capped to
   // order-1 and vocabulary-mapped (lm/arpa.py::logprob).
-  double LogProb(const int32_t* ctx, int n, int32_t word) const {
+  double LogProb(const int32_t* ctx, int n, int32_t word) const override {
     double backoff_acc = 0.0;
     std::vector<int32_t> ng;
     while (true) {
@@ -123,22 +161,6 @@ class ArpaLM {
       ctx += 1;
       n -= 1;
     }
-  }
-
-  // kenlm.Model.score on a word-id sequence (bos always on, as the
-  // decoder uses it; eos optional).
-  double Score(const int32_t* words, int n, bool eos) const {
-    std::vector<int32_t> ctx;
-    ctx.push_back(bos_id_);
-    double total = 0.0;
-    auto step = [&](int32_t w) {
-      int take = std::min<int>(order_ - 1, static_cast<int>(ctx.size()));
-      total += LogProb(ctx.data() + ctx.size() - take, take, w);
-      ctx.push_back(w);
-    };
-    for (int i = 0; i < n; ++i) step(words[i]);
-    if (eos) step(eos_id_);
-    return total;
   }
 
  private:
@@ -161,6 +183,177 @@ class ArpaLM {
   int unk_id_ = -1, bos_id_ = -1, eos_id_ = -1;
 };
 
+// ---------------------------------------------------------------- HblmLM
+// Zero-copy mmap loader for the HBLM binary format (layout + hash spec in
+// lm/hblm.py; equality with the Python loader locked by tests/test_hblm.py).
+class HblmLM : public NgramLM {
+ public:
+  static constexpr char kMagic[8] = {'H', 'B', 'L', 'M', 1, 0, 0, 0};
+  static constexpr uint64_t kEmpty = ~0ULL;
+
+  ~HblmLM() override {
+    if (base_ != nullptr && base_ != MAP_FAILED) munmap(base_, size_);
+  }
+
+  bool Load(const std::string& path) {
+    int fd = ::open(path.c_str(), O_RDONLY);
+    if (fd < 0) return false;
+    struct stat st;
+    if (fstat(fd, &st) != 0 || st.st_size < 24) {
+      ::close(fd);
+      return false;
+    }
+    size_ = static_cast<size_t>(st.st_size);
+    base_ = mmap(nullptr, size_, PROT_READ, MAP_PRIVATE, fd, 0);
+    ::close(fd);
+    if (base_ == MAP_FAILED) return false;
+    const char* p = static_cast<const char*>(base_);
+    if (std::memcmp(p, kMagic, 8) != 0) return false;
+    uint32_t n_vocab;
+    std::memcpy(&order_, p + 8, 4);
+    std::memcpy(&n_vocab, p + 12, 4);
+    uint64_t blob_len;
+    std::memcpy(&blob_len, p + 16, 8);
+    size_t off = 24 + 8ULL * order_;  // skip counts[order]
+    std::vector<uint64_t> slots(order_ > 1 ? order_ - 1 : 0);
+    if (order_ > 1) {
+      std::memcpy(slots.data(), p + off, 8ULL * (order_ - 1));
+      off += 8ULL * (order_ - 1);
+    }
+    off += Pad8(off);
+    // vocab blob: '\n'-joined utf-8 words, id = position
+    const char* blob = p + off;
+    size_t start = 0;
+    for (size_t i = 0; i <= blob_len; ++i) {
+      if (i == blob_len || blob[i] == '\n') {
+        vocab_.emplace(std::string(blob + start, i - start),
+                       static_cast<int32_t>(n_words_++));
+        start = i + 1;
+      }
+    }
+    off += blob_len + Pad8(blob_len);
+    if (static_cast<uint32_t>(n_words_) != n_vocab) return false;
+    uni_ = reinterpret_cast<const UniEntry*>(p + off);
+    size_t uni_bytes = 8ULL * n_vocab;
+    off += uni_bytes + Pad8(uni_bytes);
+    for (uint64_t s : slots) {
+      tables_.push_back(reinterpret_cast<const Entry*>(p + off));
+      table_masks_.push_back(s - 1);  // power-of-two tables
+      off += s * sizeof(Entry);
+    }
+    if (off > size_) return false;
+    unk_id_ = WordId("<unk>");
+    bos_id_ = WordId("<s>");
+    eos_id_ = WordId("</s>");
+    return unk_id_ >= 0;
+  }
+
+  int order() const override { return order_; }
+  int unk_id() const override { return unk_id_; }
+  int bos_id() const override { return bos_id_; }
+  int eos_id() const override { return eos_id_; }
+
+  int KnownWordId(const std::string& w) const override {
+    return WordId(w);  // HBLM vocab IS the unigram set
+  }
+
+  double LogProb(const int32_t* ctx, int n, int32_t word) const override {
+    double acc = 0.0;
+    while (true) {
+      const Hit h = Find(ctx, n, word);
+      if (h.found) return h.prob + acc;
+      if (n == 0) return uni_[unk_id_].prob + acc;
+      const Hit b = FindContext(ctx, n);
+      if (b.found) acc += b.backoff;
+      ctx += 1;
+      n -= 1;
+    }
+  }
+
+ private:
+  struct UniEntry {
+    float prob;
+    float backoff;
+  };
+  struct Entry {
+    uint64_t key;
+    float prob;
+    float backoff;
+  };
+  struct Hit {
+    bool found;
+    double prob;
+    double backoff;
+  };
+
+  static size_t Pad8(size_t n) { return (8 - n % 8) % 8; }
+
+  // twin of lm/hblm.py::ngram_hash
+  static uint64_t Hash(const int32_t* ids, int n) {
+    uint64_t h = 0xCBF29CE484222325ULL;
+    for (int i = 0; i < n; ++i) {
+      h ^= static_cast<uint64_t>(static_cast<uint32_t>(ids[i])) +
+           0x9E3779B9ULL;
+      h *= 0x100000001B3ULL;
+    }
+    h ^= h >> 30;
+    h *= 0xBF58476D1CE4E5B9ULL;
+    h ^= h >> 27;
+    h *= 0x94D049BB133111EBULL;
+    h ^= h >> 31;
+    return h == kEmpty ? 0 : h;
+  }
+
+  Hit Probe(int n, uint64_t h) const {
+    const Entry* tab = tables_[n - 2];
+    uint64_t mask = table_masks_[n - 2];
+    uint64_t s = h & mask;
+    // bounded probe: a corrupt/truncated file misses instead of hanging
+    for (uint64_t i = 0; i <= mask; ++i) {
+      const Entry& e = tab[s];
+      if (e.key == h) return {true, e.prob, e.backoff};
+      if (e.key == kEmpty) break;
+      s = (s + 1) & mask;
+    }
+    return {false, 0.0, 0.0};
+  }
+
+  Hit Find(const int32_t* ctx, int n, int32_t word) const {
+    if (n == 0) {
+      const UniEntry& u = uni_[word];
+      return {true, u.prob, u.backoff};
+    }
+    std::vector<int32_t> ids(ctx, ctx + n);
+    ids.push_back(word);
+    return Probe(n + 1, Hash(ids.data(), n + 1));
+  }
+
+  Hit FindContext(const int32_t* ctx, int n) const {
+    if (n == 1) {
+      const UniEntry& u = uni_[ctx[0]];
+      return {true, u.prob, u.backoff};
+    }
+    return Probe(n, Hash(ctx, n));
+  }
+
+  int WordId(const std::string& w) const {
+    auto it = vocab_.find(w);
+    return it == vocab_.end() ? -1 : it->second;
+  }
+
+  void* base_ = nullptr;
+  size_t size_ = 0;
+  const UniEntry* uni_ = nullptr;
+  std::vector<const Entry*> tables_;
+  std::vector<uint64_t> table_masks_;
+  std::unordered_map<std::string, int32_t> vocab_;
+  int n_words_ = 0;
+  int order_ = 0;
+  int unk_id_ = -1, bos_id_ = -1, eos_id_ = -1;
+};
+
+constexpr char HblmLM::kMagic[8];
+
 // ---------------------------------------------------------------- decoder
 struct Beam {
   std::vector<int32_t> prefix;  // codec ids
@@ -173,7 +366,7 @@ struct Beam {
 };
 
 struct Decoder {
-  const ArpaLM* lm = nullptr;            // may be null (no LM scoring)
+  const NgramLM* lm = nullptr;            // may be null (no LM scoring)
   std::vector<int32_t> codec2word;       // codec id -> ARPA word id
   int unknown_id = 0;
   int beam_size = 10;
@@ -401,23 +594,36 @@ struct Decoder {
 extern "C" {
 
 void* cbs_arpa_load(const char* path) {
+  // one entry point for both n-gram formats: sniff the HBLM magic, fall
+  // back to text ARPA (the kenlm.Model(path) role, ctc_codec.py:120-122)
+  char head[8] = {0};
+  {
+    std::ifstream probe(path, std::ios::binary);
+    if (!probe.is_open()) return nullptr;
+    probe.read(head, 8);
+  }
+  if (std::memcmp(head, HblmLM::kMagic, 8) == 0) {
+    auto lm = std::make_unique<HblmLM>();
+    if (!lm->Load(path)) return nullptr;
+    return lm.release();
+  }
   auto lm = std::make_unique<ArpaLM>();
   if (!lm->Load(path)) return nullptr;
   return lm.release();
 }
 
-void cbs_arpa_free(void* lm) { delete static_cast<ArpaLM*>(lm); }
+void cbs_arpa_free(void* lm) { delete static_cast<NgramLM*>(lm); }
 
-int cbs_arpa_order(void* lm) { return static_cast<ArpaLM*>(lm)->order(); }
+int cbs_arpa_order(void* lm) { return static_cast<NgramLM*>(lm)->order(); }
 
-int cbs_arpa_unk_id(void* lm) { return static_cast<ArpaLM*>(lm)->unk_id(); }
+int cbs_arpa_unk_id(void* lm) { return static_cast<NgramLM*>(lm)->unk_id(); }
 
 int cbs_arpa_word_id(void* lm, const char* utf8) {
-  return static_cast<ArpaLM*>(lm)->KnownWordId(utf8);
+  return static_cast<NgramLM*>(lm)->KnownWordId(utf8);
 }
 
 double cbs_arpa_score_ids(void* lm, const int32_t* words, int n, int eos) {
-  return static_cast<ArpaLM*>(lm)->Score(words, n, eos != 0);
+  return static_cast<NgramLM*>(lm)->Score(words, n, eos != 0);
 }
 
 void* cbs_create(void* lm, const int32_t* codec2word, int num_classes,
@@ -425,7 +631,7 @@ void* cbs_create(void* lm, const int32_t* codec2word, int num_classes,
                  double lm_panelty, double len_bonus, int use_lm_score,
                  int skip_search, double prune_log_prob, int suffix_len) {
   auto d = std::make_unique<Decoder>();
-  d->lm = static_cast<const ArpaLM*>(lm);
+  d->lm = static_cast<const NgramLM*>(lm);
   if (codec2word && num_classes > 0)
     d->codec2word.assign(codec2word, codec2word + num_classes);
   d->unknown_id = unknown_id;
