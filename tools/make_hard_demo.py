@@ -172,6 +172,35 @@ def train_lm(seed: int = 7, n_lines: int = 8000, epochs: int = 3):
     return lm_dir
 
 
+def train_ngram(order: int = 3, seed: int = 7, n_lines: int = 8000):
+    """First-party n-gram over the same chain corpus (the reference's
+    KenLM configuration, `ctc_codec.py:120-122` + third-party recipe; the
+    corpus is deterministic, so this regenerates in seconds even under
+    --skip-train). Order 3 keeps the committed binary small; the chain is
+    second-order, so higher orders add bytes, not accuracy."""
+    import tempfile
+    from handwritten_chinese_ocr_samples_tpu.lm.hblm import build_hblm
+    from handwritten_chinese_ocr_samples_tpu.lm.ngram_train import (
+        train_ngram_arpa)
+    rng = np.random.default_rng(seed)
+    lm_dir = os.path.join(HARD, "lm")
+    os.makedirs(lm_dir, exist_ok=True)
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False,
+                                     encoding="utf-8") as f:
+        for _ in range(n_lines):
+            f.write(" ".join(sample_line(rng, 42)) + "\n")
+        corpus = f.name
+    try:
+        arpa = os.path.join(lm_dir, "ngram.arpa")
+        hblm = os.path.join(lm_dir, "ngram.hblm")
+        sizes = train_ngram_arpa(corpus, arpa, order=order, vocab=VOCAB)
+        build_hblm(arpa, hblm)
+        print(f"ngram LM -> {hblm} ({sizes})")
+    finally:
+        os.unlink(corpus)
+    return hblm
+
+
 def eval_cer(data, extra=()):
     proc = run([sys.executable, "test.py", "-m", "hctr-tiny",
                 "-f", os.path.join(HARD, "checkpoint"), "-i", data,
@@ -183,12 +212,12 @@ def eval_cer(data, extra=()):
     return float(m.group(1)) if m else float("nan")
 
 
-def grid_search(tune, lm_dir):
+def grid_search(tune, lm_args):
     proc = run([sys.executable, "test.py", "-m", "hctr-tiny",
                 "-f", os.path.join(HARD, "checkpoint"), "-i", tune,
                 "-cl", os.path.join(tune, "chars_list.txt"),
-                "-bm", "-b", "25", "-dm", "beam-search", "-utp", "-uts",
-                "-ss", "-tp", lm_dir, "-gs",
+                "-bm", "-b", "25", "-dm", "beam-search",
+                "-ss", *lm_args, "-gs",
                 "-al", "0.4", "-au", "1.6", "-ac", "4",
                 "-bl", "0.0", "-bu", "4.0", "-bc", "3"],
                capture_output=True, text=True)
@@ -221,24 +250,40 @@ def main():
     else:
         lm_dir = os.path.join(HARD, "lm")
 
+    ngram_path = train_ngram()  # deterministic corpus: always regenerable
+
     greedy_cer = eval_cer(data, ("-dm", "greedy-search"))
     print(f"greedy test CER: {greedy_cer:.4f}")
 
     if args.skip_grid:
         with open(os.path.join(HARD, "RESULTS.md")) as f:
-            m = re.search(r"lm_panelty=([\d.]+) len_bonus=([\d.]+)",
-                          f.read())
+            text = f.read()
+        m = re.search(r"lm_panelty=([\d.]+) len_bonus=([\d.]+)", text)
         alpha, beta = float(m.group(1)), float(m.group(2))
-        tune_cer = float("nan")
+        mn = re.search(r"ngram lm_panelty=([\d.]+) len_bonus=([\d.]+)",
+                       text)
+        ng_alpha, ng_beta = ((float(mn.group(1)), float(mn.group(2)))
+                             if mn else (1.0, 0.5))
+        tune_cer = ng_tune_cer = float("nan")
     else:
-        alpha, beta, tune_cer = grid_search(tune, lm_dir)
+        alpha, beta, tune_cer = grid_search(
+            tune, ("-utp", "-uts", "-tp", lm_dir))
         print(f"grid best on tune: lm_panelty={alpha} len_bonus={beta} "
               f"CER={tune_cer:.4f}")
+        ng_alpha, ng_beta, ng_tune_cer = grid_search(
+            tune, ("-kp", ngram_path))
+        print(f"ngram grid best on tune: lm_panelty={ng_alpha} "
+              f"len_bonus={ng_beta} CER={ng_tune_cer:.4f}")
 
     beam_cer = eval_cer(data, ("-dm", "beam-search", "-utp", "-uts", "-ss",
                                "-tp", lm_dir, "-lp", str(alpha),
                                "-lb", str(beta)))
     print(f"beam+LM test CER: {beam_cer:.4f}")
+
+    ngram_cer = eval_cer(data, ("-dm", "beam-search", "-ss",
+                                "-kp", ngram_path, "-lp", str(ng_alpha),
+                                "-lb", str(ng_beta)))
+    print(f"beam+ngram test CER: {ngram_cer:.4f}")
 
     with open(os.path.join(HARD, "RESULTS.md"), "w") as f:
         f.write("# Hard demo: LM fusion improves accuracy\n\n")
@@ -257,21 +302,33 @@ def main():
         f.write(f"| greedy (`test.py -bm -dm greedy-search`) | "
                 f"**{greedy_cer:.4f}** |\n")
         f.write(f"| beam + LM (`test.py -bm -dm beam-search -utp -uts -ss`)"
-                f" | **{beam_cer:.4f}** |\n\n")
+                f" | **{beam_cer:.4f}** |\n")
+        f.write(f"| beam + n-gram (`test.py -bm -dm beam-search -ss "
+                f"-kp lm/ngram.hblm`) | **{ngram_cer:.4f}** |\n\n")
         f.write(f"- grid search (`-gs` on the held-out tune split): "
                 f"lm_panelty={alpha} len_bonus={beta} "
-                f"(tune CER {tune_cer:.4f})\n")
+                f"(tune CER {tune_cer:.4f}); "
+                f"ngram lm_panelty={ng_alpha} len_bonus={ng_beta} "
+                f"(tune CER {ng_tune_cer:.4f})\n")
         f.write(f"- recognizer: hctr-tiny, main.py, {args.epochs} epochs, "
                 f"lr {args.lr}, batch 16, seed 42\n")
         f.write("- LM: first-party char transformer (128d/3L), 8k lines "
-                "sampled from the same bigram chain\n")
+                "sampled from the same bigram chain; n-gram: first-party "
+                "Witten-Bell trigram (cli/lm_train_ngram) on the same "
+                "corpus, binarized to HBLM\n")
         f.write(f"- data: 1200 train / 150 test / 100 tune lines, "
                 f"6-12 chars each (seed 42)\n")
     print(json.dumps({"greedy_cer": greedy_cer, "beam_lm_cer": beam_cer,
-                      "lm_panelty": alpha, "len_bonus": beta}))
+                      "beam_ngram_cer": ngram_cer,
+                      "lm_panelty": alpha, "len_bonus": beta,
+                      "ngram_lm_panelty": ng_alpha,
+                      "ngram_len_bonus": ng_beta}))
     if not beam_cer < greedy_cer:
         raise SystemExit(
             f"beam+LM CER {beam_cer} did not beat greedy {greedy_cer}")
+    if not ngram_cer < greedy_cer:
+        raise SystemExit(
+            f"beam+ngram CER {ngram_cer} did not beat greedy {greedy_cer}")
 
 
 if __name__ == "__main__":
