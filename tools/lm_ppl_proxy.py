@@ -20,6 +20,16 @@ below the untrained baseline, far above the memorized-train floor).
 Usage:
   python tools/lm_ppl_proxy.py [--corpus PATH] [--epochs 10]
       [--d-model 256] [--layers 4] [--save DIR]
+
+``--ngram N`` measures the first-party Witten-Bell estimator
+(`lm/ngram_train.py`) on the same page-level split instead — the
+counterpart of the reference recipe's kenlm 5-gram, scored as log10
+perplexity with <s>/</s> the kenlm way. Host-only, no JAX. Measured
+(2026-08-18): 5-gram held-out PPL 1.4 (36.8k 5-grams) — even lower than
+the transformer's 3.5 because held-out pages are near-verbatim copies of
+training pages and exact n-gram lookups exploit that perfectly; same
+caveat as above, it validates the estimator pipeline, not news-domain
+quality.
 """
 
 import argparse
@@ -30,6 +40,41 @@ import numpy as np
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 DEFAULT_CORPUS = "/root/reference/third-party/hwdb2x_test_page_gt_space.txt"
+
+
+def ngram_ppl(args):
+    """Witten-Bell n-gram held-out perplexity on the page-level split."""
+    import tempfile
+
+    from handwritten_chinese_ocr_samples_tpu.lm.arpa import ArpaLM
+    from handwritten_chinese_ocr_samples_tpu.lm.ngram_train import (
+        train_ngram_arpa)
+
+    pages = [line.strip() for line in open(args.corpus, encoding="utf-8")]
+    pages = [p for p in pages if p]  # already char-spaced
+    rng = np.random.default_rng(42)
+    order = rng.permutation(len(pages))
+    n_dev = max(1, len(pages) // 10)
+    dev = [pages[i] for i in order[:n_dev]]
+    train = [pages[i] for i in order[n_dev:]]
+    print(f"corpus: {len(pages)} pages -> {len(train)} train / "
+          f"{len(dev)} dev pages (page-level split)", flush=True)
+
+    with tempfile.NamedTemporaryFile("w", suffix=".txt",
+                                     encoding="utf-8") as f:
+        f.write("\n".join(train) + "\n")
+        f.flush()
+        with tempfile.NamedTemporaryFile(suffix=".arpa") as out:
+            sizes = train_ngram_arpa(f.name, out.name, order=args.ngram)
+            print(f"estimated: {sizes}", flush=True)
+            lm = ArpaLM(out.name)
+            tot = cnt = 0
+            for page in dev:
+                tot += lm.score(page)               # log10, incl </s>
+                cnt += len(page.split()) + 1
+            ppl = 10.0 ** (-tot / max(cnt, 1))
+            print(f"held-out: {cnt} tokens, log10/token {tot / cnt:.4f}, "
+                  f"PPL {ppl:.1f}")
 
 
 def main():
@@ -47,7 +92,13 @@ def main():
                     help="split pages into chunks of <= this many chars")
     ap.add_argument("--save", default="",
                     help="optional dir to save the trained LM bundle")
+    ap.add_argument("--ngram", type=int, default=0, metavar="N",
+                    help="measure the Witten-Bell N-gram estimator "
+                         "instead of training the transformer")
     args = ap.parse_args()
+
+    if args.ngram:
+        return ngram_ppl(args)
 
     import jax
     import jax.numpy as jnp
