@@ -142,6 +142,15 @@ def _bench_lm_beam(jax, jnp, model, variables, codec, batches, dev):
         return codec.compact_to_texts(np.asarray(prefixes),
                                       np.asarray(lengths))
 
+    def dispatch(i, x):
+        outs = prep(variables, x, peakies[i % len(peakies)])
+        return beam.decode_async(*outs)
+
+    def finalize(pending):
+        prefixes, lengths = pending.result()
+        return codec.compact_to_texts(np.asarray(prefixes),
+                                      np.asarray(lengths))
+
     # Warm up/compile both posterior variants (auto knobs settle here).
     x = jax.device_put(batches[0], dev)
     for i in range(len(peakies)):
@@ -153,12 +162,20 @@ def _bench_lm_beam(jax, jnp, model, variables, codec, batches, dev):
     t0 = time.perf_counter()
     total_lines = 0
     next_fut = xfer.submit(jax.device_put, batches[0], dev)
+    pending = None
     for i in range(ITERS_LM):
         x = next_fut.result()
         next_fut = xfer.submit(jax.device_put,
                                batches[(i + 1) % len(batches)], dev)
-        run_once(i, x)
-        total_lines += BATCH
+        pd = dispatch(i, x)
+        if pending is not None:
+            # Convert the PREVIOUS batch's strings (and run its overflow
+            # check) while this batch decodes — same pipelining as greedy.
+            finalize(pending)
+            total_lines += BATCH
+        pending = pd
+    finalize(pending)
+    total_lines += BATCH
     dt = time.perf_counter() - t0
     xfer.shutdown(wait=False)
     print(f"lm-beam e2e: decoded ~{n_chars} chars/line; "

@@ -116,7 +116,7 @@ class AdaptiveLMBeam:
         self._fused = bool(fused_commit) and self.skip
         self._fns = {}
         self._stats = None  # lazy jitted device-side knob-sizing maxima
-        self._ladder = None  # lazy jitted device-side ladder sizing
+        self._sizing = None  # lazy jitted fused stats+ladder (one fetch)
         # data-parallel decode: lines are independent, so with a mesh the
         # batch shards over its ``data`` axis (parallel.mesh.shard_batched_fn)
         self._mesh = mesh
@@ -196,16 +196,42 @@ class AdaptiveLMBeam:
     def decode(self, cand_vals, cand_idx, logits, logz,
                blank_lp=None, n_above=None):
         """Device arrays in, (prefixes, lengths) out (host-checked)."""
+        return self.decode_async(cand_vals, cand_idx, logits, logz,
+                                 blank_lp, n_above).result()
+
+    def decode_async(self, cand_vals, cand_idx, logits, logz,
+                     blank_lp=None, n_above=None):
+        """Size the knobs and dispatch the decode; returns a
+        ``PendingDecode`` whose ``result()`` performs the overflow check
+        (escalating/re-decoding if needed) and yields
+        ``(prefixes, lengths)``. Callers can overlap host work for the
+        previous batch (D2H, string conversion, CER) with this batch's
+        device time by delaying ``result()`` — the same pipelining the
+        greedy path uses (`bench.py`)."""
         B, T = cand_vals.shape[:2]
-        # Knob sizing reads four device-side scalars (make_count_stats)
-        # instead of fetching the (B, T, K) candidate tensor to the host
-        # (~1.5 MB / ~12 ms per batch at b32/w1200 over the tunnel).
-        if self._stats is None:
-            from .beam_lm_device import make_count_stats
-            self._stats = make_count_stats(
-                unknown_id=self.unknown_id, run_max=self.run_max)
-        chars_max, end_max, seg_max, na_max = (
-            int(x) for x in jax.device_get(self._stats(cand_idx, n_above)))
+        # Knob sizing reads device-side scalars (make_count_stats /
+        # make_count_sizing) instead of fetching the (B, T, K) candidate
+        # tensor to the host (~1.5 MB / ~12 ms per batch at b32/w1200
+        # over the tunnel); with the ladder on, stats + ladder bound fuse
+        # into ONE program and ONE fetch (each fetch is a ~26 ms round
+        # trip on the tunnel).
+        ladder_raw = None
+        if self.skip and self._ladder_ctx:
+            if self._sizing is None:
+                from .beam_lm_device import make_count_sizing
+                self._sizing = make_count_sizing(
+                    unknown_id=self.unknown_id, run_max=self.run_max)
+            chars_max, end_max, seg_max, na_max, ladder_raw = (
+                int(x) for x in jax.device_get(self._sizing(
+                    cand_idx, n_above, self._ladder_ctx)))
+        else:
+            if self._stats is None:
+                from .beam_lm_device import make_count_stats
+                self._stats = make_count_stats(
+                    unknown_id=self.unknown_id, run_max=self.run_max)
+            chars_max, end_max, seg_max, na_max = (
+                int(x) for x in jax.device_get(
+                    self._stats(cand_idx, n_above)))
 
         if not self._ctx_pinned:
             self._ctx = self._auto_ctx(chars_max)
@@ -233,19 +259,13 @@ class AdaptiveLMBeam:
                 # scan length is a first-order cost (seg 52 vs 56 = +7%)
                 self._budget = -(-max(seg_max + 1, 16) // 4) * 4
             if self._ladder_ctx and self._ladder_ctx < self._ctx:
-                # running-min sound bound, quantized DOWN to multiples of
-                # 8 (shorter rungs remain sound) and clamped inside the
-                # program's own segment count min(budget, T) so the
-                # ladder can't be silently dropped by decode_one; rungs
-                # under 8 segments are not worth the extra program
-                if self._ladder is None:
-                    from .beam_lm_device import make_count_ladder
-                    self._ladder = make_count_ladder(
-                        unknown_id=self.unknown_id, run_max=self.run_max)
-                self._ladder_bound = min(
-                    self._ladder_bound,
-                    int(jax.device_get(self._ladder(
-                        cand_idx, n_above, self._ladder_ctx))))
+                # running-min sound bound (fetched with the stats, one
+                # transfer), quantized DOWN to multiples of 8 (shorter
+                # rungs remain sound) and clamped inside the program's
+                # own segment count min(budget, T) so the ladder can't be
+                # silently dropped by decode_one; rungs under 8 segments
+                # are not worth the extra program
+                self._ladder_bound = min(self._ladder_bound, ladder_raw)
                 k = min(self._ladder_bound // 8 * 8,
                         min(self._budget, int(T)) - 1)
                 self._ladder_k = k if k >= 8 else 0
@@ -257,21 +277,46 @@ class AdaptiveLMBeam:
             if end_max > self._fb:
                 self._fb = min(-(-max(end_max, 32) // 32) * 32, int(T))
 
+        return PendingDecode(
+            self, (cand_vals, cand_idx, logits, logz, blank_lp, n_above),
+            int(T), int(B))
+
+
+class PendingDecode:
+    """A dispatched LM-beam decode whose overflow check is deferred.
+
+    The decode program is already running on device when this object is
+    returned; ``result()`` materializes the overflow flag (the only host
+    sync), escalating the LM context and re-decoding if it fired, and
+    returns ``(prefixes, lengths)`` device arrays."""
+
+    def __init__(self, beam: "AdaptiveLMBeam", args, T: int, B: int):
+        self._beam = beam
+        self._args = args
+        self._T, self._B = T, B
+        self._outs = self._dispatch()
+
+    def _dispatch(self):
+        b = self._beam
+        fn = b._fn(self._T, self._B)
+        cand_vals, cand_idx, logits, logz, blank_lp, n_above = self._args
+        if b.skip:
+            return fn(cand_vals, cand_idx, logits, logz, blank_lp, n_above)
+        return fn(cand_vals, cand_idx, logits, logz)
+
+    def result(self):
+        b = self._beam
         while True:
-            fn = self._fn(int(T), int(B))
-            if self.skip:
-                prefixes, lengths, ovf = fn(cand_vals, cand_idx, logits,
-                                            logz, blank_lp, n_above)
-            else:
-                prefixes, lengths, ovf = fn(cand_vals, cand_idx, logits,
-                                            logz)
+            prefixes, lengths, ovf = self._outs
             if not bool(np.asarray(ovf).any()):
+                self._args = None  # release the batch tensors
                 return prefixes, lengths
-            if self._ctx_pinned:
+            if b._ctx_pinned:
                 raise RuntimeError(
-                    f"LM KV cache overflowed at pinned lm_ctx={self._ctx}; "
+                    f"LM KV cache overflowed at pinned lm_ctx={b._ctx}; "
                     f"raise --lm-ctx or use 0 (auto)")
-            self._ctx = self._escalated_ctx()
-            if self._verbose:
+            b._ctx = b._escalated_ctx()
+            if b._verbose:
                 print(f"[lm-beam] KV overflow -> escalating ctx to "
-                      f"{self._ctx} and re-decoding batch")
+                      f"{b._ctx} and re-decoding batch")
+            self._outs = self._dispatch()

@@ -1269,3 +1269,31 @@ def make_count_stats(*, unknown_id: int, blank_id: int = 0,
                 jnp.max(n_above))
 
     return stats
+
+
+def make_count_sizing(*, unknown_id: int, blank_id: int = 0,
+                      suffix_frames: int = 4, run_max: int = 8):
+    """One-dispatch knob sizing: ``make_count_stats`` maxima plus the
+    ``make_count_ladder`` bound, stacked into a single ``(5,)`` array.
+
+    The adaptive driver fetches host scalars per batch; on the tunneled
+    TPU each fetch is a ~26 ms round trip, so sizing via two separate
+    programs (stats + ladder) pays twice. Composing the two jitted fns
+    inside one jit lets XLA CSE their shared keep/end/segment analysis
+    and ships one transfer. Equivalence with the parts is locked by
+    ``tests/test_adaptive_lm.py::test_count_sizing_matches_parts``."""
+    import functools
+
+    stats = make_count_stats(unknown_id=unknown_id, blank_id=blank_id,
+                             suffix_frames=suffix_frames, run_max=run_max)
+    ladder = make_count_ladder(unknown_id=unknown_id, blank_id=blank_id,
+                               suffix_frames=suffix_frames, run_max=run_max)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def sizing(cand_idx, n_above, ctx1):
+        chars_max, end_max, seg_max, na_max = stats(cand_idx, n_above)
+        k_bound = ladder(cand_idx, n_above, ctx1)
+        return jnp.stack([chars_max, end_max, seg_max, na_max,
+                          k_bound.astype(chars_max.dtype)])
+
+    return sizing

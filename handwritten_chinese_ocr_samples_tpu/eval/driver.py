@@ -178,26 +178,55 @@ class EvalSession:
                     cv, ci, logits, logz, blank_lp, n_above)
 
             self._forward_lm_beam = forward_lm_beam
+            self._prep_lm_beam = prep_lm_beam
 
     # ------------------------------------------------------------- decode
-    def decode_batch(self, images_nhwc: np.ndarray) -> Tuple[List[str], float]:
-        """(B, H, W, 1) normalized f32 -> texts, elapsed seconds."""
+    def decode_batch_async(self, images_nhwc: np.ndarray):
+        """Dispatch a batch; returns ``finalize() -> (texts, seconds)``.
+
+        The device work starts immediately; everything host-side (D2H of
+        the decoded indices, the overflow check on the LM path, string
+        conversion) happens inside ``finalize``. Callers that delay a
+        batch's ``finalize`` until after the NEXT batch is dispatched
+        overlap that host tail with device compute — the pipelining that
+        took the greedy bench path from ~84 to ~103 lines/sec
+        (`bench.py`) — while plain ``decode_batch`` keeps the
+        dispatch-then-finalize semantics of the reference hot loop."""
         import jax.numpy as jnp
         x = jnp.asarray(images_nhwc)
         t0 = time.time()
         if self.use_beam and self.device_lm_beam:
-            prefixes, lengths = self._forward_lm_beam(self.variables, x)
-            texts = self.codec.compact_to_texts(prefixes, lengths)
+            outs = self._prep_lm_beam(self.variables, x)
+            pending = self._lm_adaptive.decode_async(*outs)
+
+            def finalize():
+                prefixes, lengths = pending.result()
+                texts = self.codec.compact_to_texts(prefixes, lengths)
+                return texts, time.time() - t0
         elif self.use_beam and self.device_beam:
             prefixes, lengths = self._forward_beam(self.variables, x)
-            texts = self.codec.compact_to_texts(prefixes, lengths)
+
+            def finalize():
+                texts = self.codec.compact_to_texts(prefixes, lengths)
+                return texts, time.time() - t0
         elif self.use_beam:
-            logits = np.asarray(self._forward(self.variables, x))
-            texts = self.beam.decode(logits.transpose(1, 0, 2))
+            logits_dev = self._forward(self.variables, x)
+
+            def finalize():
+                logits = np.asarray(logits_dev)
+                texts = self.beam.decode(logits.transpose(1, 0, 2))
+                return texts, time.time() - t0
         else:
             chars, lengths = self._forward_greedy(self.variables, x)
-            texts = self.codec.compact_to_texts(chars, lengths)
-        return texts, time.time() - t0
+
+            def finalize():
+                texts = self.codec.compact_to_texts(chars, lengths)
+                return texts, time.time() - t0
+        return finalize
+
+    def decode_batch(self, images_nhwc: np.ndarray) -> Tuple[List[str], float]:
+        """(B, H, W, 1) normalized f32 -> texts, elapsed seconds."""
+        return self.decode_batch_async(images_nhwc)()
 
 
 def run_single(args) -> None:
@@ -258,20 +287,34 @@ def run_benchmark(args) -> float:
                         num_workers=args.workers)
 
     dist_sum, len_sum, n_img, t_total = 0, 0, 0, 0.0
-    for i, batch in enumerate(loader):
-        texts, dt = session.decode_batch(batch["images"])
+
+    def consume(entry):
+        nonlocal dist_sum, len_sum, n_img, t_total
+        i, finalize, labels = entry
+        texts, dt = finalize()
         t_total += dt
         n_img += len(texts)
-        d, t = cer_counts(texts, list(batch["labels"]))
+        d, t = cer_counts(texts, labels)
         dist_sum += d
         len_sum += t
         if args.test_verbose:
-            for p, g in zip(texts, batch["labels"]):
+            for p, g in zip(texts, labels):
                 print(f"PRE: {p}\nTRU: {g}")
         if (i + 1) % args.print_freq == 0:
             print(f"[{i + 1}/{len(loader)}] CER so far: "
                   f"{dist_sum / max(len_sum, 1):.4f} "
                   f"({t_total / max(n_img, 1) * 1000:.1f} ms/img)")
+
+    # one batch in flight: batch i's host tail (D2H, strings, CER) runs
+    # while batch i+1 computes on device
+    prev = None
+    for i, batch in enumerate(loader):
+        finalize = session.decode_batch_async(batch["images"])
+        if prev is not None:
+            consume(prev)
+        prev = (i, finalize, list(batch["labels"]))
+    if prev is not None:
+        consume(prev)
     cer = dist_sum / max(len_sum, 1)
     print(f"Total Test CER: {cer}")
     return cer

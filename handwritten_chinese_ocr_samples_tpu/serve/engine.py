@@ -220,17 +220,24 @@ class ServingEngine:
         w = self.bucket_for(true_w)
         return w, _pad_fixed_shape(src, h, w)
 
+    def _decode_outputs_async(self, outputs):
+        """Executable outputs -> ``finalize() -> texts``, per routing.
+
+        The device-side routings dispatch immediately and defer the host
+        tail (D2H, overflow check, string conversion) to ``finalize`` so
+        batched callers can overlap it with the next batch's compute."""
+        if self._device_lm_beam:
+            pending = self._lm_beam.decode_async(*outputs)
+            return lambda: self.codec.compact_to_texts(*pending.result())
+        if self._host_beam is not None:
+            return lambda: self._host_beam.decode(
+                np.asarray(outputs).transpose(1, 0, 2), already_log=True)
+        chars, lengths = outputs
+        return lambda: self.codec.compact_to_texts(chars, lengths)
+
     def _decode_outputs(self, outputs) -> List[str]:
         """Executable outputs -> texts, per decode routing."""
-        if self._device_lm_beam:
-            prefixes, lengths = self._lm_beam.decode(*outputs)
-            return self.codec.compact_to_texts(prefixes, lengths)
-        if self._host_beam is not None:
-            logp = np.asarray(outputs)            # (B, T, D)
-            return self._host_beam.decode(logp.transpose(1, 0, 2),
-                                          already_log=True)
-        chars, lengths = outputs
-        return self.codec.compact_to_texts(chars, lengths)
+        return self._decode_outputs_async(outputs)()
 
     def infer_files(self, image_files: Sequence[str],
                     iterations: int = 1) -> Tuple[List[str], float]:
@@ -287,6 +294,15 @@ class ServingEngine:
 
         texts: List[str] = [""] * len(image_files)
         t0 = time.time()
+
+        def consume(entry):
+            chunk, finalize = entry
+            for i, t in zip(chunk, finalize()[: len(chunk)]):
+                texts[i] = t
+
+        # one batch in flight: batch k's host tail overlaps batch k+1's
+        # device compute (same pipelining as eval's run_benchmark)
+        prev = None
         for w, idxs in groups.items():
             bs = min(batch_size, len(idxs))
             exe = self._exe(bs, w)
@@ -297,8 +313,11 @@ class ServingEngine:
                     [arrays[i] for i in chunk]
                     + [arrays[chunk[-1]]] * pad, axis=0)
                 outputs = exe(self.variables, jnp.asarray(batch))
-                decoded = self._decode_outputs(outputs)
-                for i, t in zip(chunk, decoded[: len(chunk)]):
-                    texts[i] = t
+                pending = (chunk, self._decode_outputs_async(outputs))
+                if prev is not None:
+                    consume(prev)
+                prev = pending
+        if prev is not None:
+            consume(prev)
         dt = time.time() - t0
         return texts, (len(image_files) / dt if dt > 0 else 0.0)

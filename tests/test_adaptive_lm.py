@@ -306,3 +306,72 @@ def test_pick_group_size():
     assert pick_group_size(6, 4) == 3       # largest divisor of 6 <= 4
     assert pick_group_size(1, 8) == 1
     assert pick_group_size(7, 4) == 1
+
+
+def test_count_sizing_matches_parts():
+    """The fused one-fetch sizing program (``make_count_sizing``) must
+    equal ``make_count_stats`` + ``make_count_ladder`` element-wise."""
+    from handwritten_chinese_ocr_samples_tpu.decode.beam_lm_device import (
+        make_count_ladder, make_count_sizing, make_count_stats)
+    rng = np.random.default_rng(13)
+    D, unknown_id = 8, 7
+    for trial in range(8):
+        B = int(rng.integers(1, 5))
+        T = int(rng.integers(4, 60))
+        run_max = int(rng.integers(1, 5))
+        ctx1 = int(rng.integers(1, 24))
+        ci = np.zeros((B, T, 3), np.int64)
+        ci[:, :, 0] = rng.integers(0, D, (B, T))
+        n_above = np.where(rng.random((B, T)) < 0.7, 1,
+                           rng.integers(2, 5, (B, T))).astype(np.int32)
+        stats = make_count_stats(unknown_id=unknown_id, run_max=run_max)
+        ladder = make_count_ladder(unknown_id=unknown_id, run_max=run_max)
+        sizing = make_count_sizing(unknown_id=unknown_id, run_max=run_max)
+        want = [int(x) for x in stats(jnp.asarray(ci),
+                                      jnp.asarray(n_above))]
+        want.append(int(ladder(jnp.asarray(ci), jnp.asarray(n_above),
+                               ctx1)))
+        got = [int(x) for x in sizing(jnp.asarray(ci), jnp.asarray(n_above),
+                                      ctx1)]
+        assert got == want, (trial, B, T, run_max, ctx1)
+
+
+def test_decode_async_interleaved_matches_sync(setup):  # noqa: F811
+    """Two batches dispatched before either result() (the pipelined
+    pattern of run_benchmark/bench.py) decode exactly like sequential
+    ``decode`` calls, including the deferred overflow check."""
+    codec, clm, scorer, c2l, l2c = setup
+    batch_a = _prep(_peaky_preds(T=16, B=4, seed=3).astype(np.float32))
+    batch_b = _prep(_dense_char_line(T=40, n_chars=9, seed=5))
+
+    kw = dict(beam_size=4, depth=6, unknown_id=codec.unknown_id,
+              lm_panelty=0.7, len_bonus=1.5, skip_search=True)
+    sync = AdaptiveLMBeam(clm, c2l, l2c, **kw)
+    want_a = codec.compact_to_texts(*sync.decode(*batch_a))
+    want_b = codec.compact_to_texts(*sync.decode(*batch_b))
+
+    pipe = AdaptiveLMBeam(clm, c2l, l2c, **kw)
+    pa = pipe.decode_async(*batch_a)
+    pb = pipe.decode_async(*batch_b)       # dispatched before pa.result()
+    got_a = codec.compact_to_texts(*pa.result())
+    got_b = codec.compact_to_texts(*pb.result())
+    assert got_a == want_a and got_b == want_b
+
+
+def test_decode_async_escalates_on_overflow(setup, monkeypatch):  # noqa: F811
+    """result() performs the overflow escalation the sync path used to."""
+    codec, clm, scorer, c2l, l2c = setup
+    monkeypatch.setattr(adaptive, "STABLE_CTX", (8, 16, 64))
+    monkeypatch.setattr(adaptive, "CTX_MARGIN", 0)
+    args = _prep(_dense_char_line(T=40, n_chars=12, seed=2))
+    beam = AdaptiveLMBeam(
+        clm, c2l, l2c, beam_size=4, depth=6, unknown_id=codec.unknown_id,
+        lm_panelty=0.7, len_bonus=1.5, skip_search=True, ctx_ladder=0)
+    # lie about the greedy count so the first pick (8) overflows
+    monkeypatch.setattr(beam, "_auto_ctx", lambda chars_max: 8)
+    pending = beam.decode_async(*args)
+    assert beam._ctx == 8
+    prefixes, lengths = pending.result()   # escalates inside result()
+    assert beam._ctx > 8
+    texts = codec.compact_to_texts(prefixes, lengths)
+    assert all(len(t) == 12 for t in texts)
