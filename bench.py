@@ -47,7 +47,8 @@ ITERS_GREEDY = 20
 ITERS_LM = 6
 
 
-def _bench_greedy(jax, jnp, model, variables, codec, batches, dev):
+def _bench_greedy(jax, jnp, model, variables, codec, batches, dev,
+                  quant=None):
     from handwritten_chinese_ocr_samples_tpu.ops.decode import (
         greedy_decode_device)
     unknown_id = NUM_CLASSES - 1
@@ -56,7 +57,7 @@ def _bench_greedy(jax, jnp, model, variables, codec, batches, dev):
     def infer(variables, x_u8):
         # Normalization on device (`dataset.py:85`: (x/255 - 0.5) / 0.5).
         x = x_u8.astype(jnp.float32) / 127.5 - 1.0
-        logits = model.apply(variables, x, train=False)
+        logits = model.apply(variables, x, train=False, quant=quant)
         return greedy_decode_device(logits, None, unknown_id=unknown_id)
 
     # Warm up the transfer path and compile.
@@ -91,7 +92,8 @@ def _bench_greedy(jax, jnp, model, variables, codec, batches, dev):
     return total_lines / dt
 
 
-def _bench_lm_beam(jax, jnp, model, variables, codec, batches, dev):
+def _bench_lm_beam(jax, jnp, model, variables, codec, batches, dev,
+                   quant=None):
     from handwritten_chinese_ocr_samples_tpu.decode.adaptive import (
         AdaptiveLMBeam)
     from handwritten_chinese_ocr_samples_tpu.decode.beam_lm_device import (
@@ -120,7 +122,7 @@ def _bench_lm_beam(jax, jnp, model, variables, codec, batches, dev):
     @jax.jit
     def prep(variables, x_u8, peaky):
         x = x_u8.astype(jnp.float32) / 127.5 - 1.0
-        fwd = model.apply(variables, x, train=False)
+        fwd = model.apply(variables, x, train=False, quant=quant)
         # Decode consumes trained-statistics posteriors; the scaled add
         # keeps the forward inside the timed program without affecting
         # the decoded text (see module docstring).
@@ -205,7 +207,21 @@ def main():
 
     greedy_lps = _bench_greedy(jax, jnp, model, variables, codec, batches,
                                dev)
+
+    # int8 serving mode (`--int8` on test.py/deploy.py): calibrate conv
+    # scales on one batch, then the same greedy pipeline with s8xs8->s32
+    # convs on the MXU (~1.9x bf16 conv rate on v5e).
+    from handwritten_chinese_ocr_samples_tpu.serve.quant import (
+        calibrate_conv_amax)
+    x_cal = jax.device_put(batches[0], dev).astype(jnp.float32) / 127.5 - 1.0
+    quant = calibrate_conv_amax(model, variables, [x_cal])
+    del x_cal
+    greedy_i8_lps = _bench_greedy(jax, jnp, model, variables, codec,
+                                  batches, dev, quant=quant)
+
     lm_lps = _bench_lm_beam(jax, jnp, model, variables, codec, batches, dev)
+    lm_i8_lps = _bench_lm_beam(jax, jnp, model, variables, codec, batches,
+                               dev, quant=quant)
 
     print(json.dumps({
         "metric": "ocr_greedy_lines_per_sec_per_chip_b32_w1200",
@@ -214,7 +230,11 @@ def main():
         "vs_baseline": round(
             greedy_lps / TORCH_CPU_BASELINE_LINES_PER_SEC, 1),
         "extra": {
+            "greedy_int8_lines_per_sec_per_chip_b32_w1200": round(
+                greedy_i8_lps, 2),
             "lm_beam_e2e_lines_per_sec_per_chip_b32_w1200": round(lm_lps, 2),
+            "lm_beam_e2e_int8_lines_per_sec_per_chip_b32_w1200": round(
+                lm_i8_lps, 2),
             "lm_beam_decode_only_r3_lines_per_sec": 18.44,
             "lm_beam_path": "test.py -bm -dm beam-search -utp -uts -ss "
                             "(forward + Pallas top-K + adaptive LM-fused "

@@ -71,6 +71,10 @@ def build_argparser():
     args.add_argument("--fused-commit", dest="fused_commit",
                       action="store_true")
     args.add_argument("--lm-f32", dest="lm_f32", action="store_true")
+    args.add_argument("--int8", dest="int8", action="store_true",
+                      help="post-training int8 quantization of the "
+                           "recognizer convs (calibrated on the first "
+                           "request; ~1.3x greedy serving on v5e)")
     return parser
 
 
@@ -114,7 +118,8 @@ def main():
         lm_ctx=args.lm_ctx, lm_group=args.lm_group,
         seg_budget=args.seg_budget, run_max=args.run_max,
         ctx_ladder=args.ctx_ladder, fused_commit=args.fused_commit,
-        lm_f32=args.lm_f32)
+        lm_f32=args.lm_f32,
+        int8=args.int8)
 
     if os.path.isfile(args.input):
         files = [args.input]

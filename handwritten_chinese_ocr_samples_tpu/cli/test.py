@@ -93,6 +93,10 @@ def build_argparser():
                            "per segment instead of two; exact)")
     args.add_argument("--lm-f32", dest="lm_f32", action="store_true",
                       help="run the fused LM in float32 (default bfloat16)")
+    args.add_argument("--int8", dest="int8", action="store_true",
+                      help="post-training int8 quantization of the "
+                           "recognizer convs (calibrated on the first "
+                           "batch; ~1.9x conv throughput on v5e)")
     args.add_argument("-jw", "--workers", type=int, metavar="N", default=4,
                       help="number of data loading workers (benchmark mode)")
     args.add_argument("-tv", "--test-verbose", dest="test_verbose",

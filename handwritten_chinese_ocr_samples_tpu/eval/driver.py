@@ -100,15 +100,33 @@ class EvalSession:
         model = self.model
         unknown_id = self.codec.unknown_id
 
-        @jax.jit
-        def forward(variables, x):
+        # int8 conv scales (``serve/quant.py``), calibrated lazily on the
+        # first batch when --int8; passed as a jit ARGUMENT so the switch
+        # from None to the calibrated tree retraces exactly once
+        self._quant = None
+        self.int8 = bool(getattr(args, "int8", False))
+        import inspect
+        supports_quant = "quant" in inspect.signature(
+            type(model).__call__).parameters
+        if self.int8 and not supports_quant:
+            raise ValueError(
+                f"--int8: model '{args.model_type}' has no quantized "
+                f"conv path")
+
+        def apply_fwd(variables, x, quant):
+            if supports_quant:
+                return model.apply(variables, x, train=False, quant=quant)
             return model.apply(variables, x, train=False)
+
+        @jax.jit
+        def forward(variables, x, quant=None):
+            return apply_fwd(variables, x, quant)
 
         from ..ops.decode import greedy_decode_device
 
         @jax.jit
-        def forward_greedy(variables, x):
-            logits = model.apply(variables, x, train=False)
+        def forward_greedy(variables, x, quant=None):
+            logits = apply_fwd(variables, x, quant)
             return greedy_decode_device(logits, None, unknown_id=unknown_id)
 
         beam_size, depth = args.beam_size, args.search_depth
@@ -119,8 +137,8 @@ class EvalSession:
         dense = dense_merge_default()
 
         @jax.jit
-        def forward_beam(variables, x):
-            logits = model.apply(variables, x, train=False)
+        def forward_beam(variables, x, quant=None):
+            logits = apply_fwd(variables, x, quant)
             return beam_search_fused(
                 logits, beam_size=beam_size, depth=depth,
                 unknown_id=unknown_id, len_bonus=len_bonus,
@@ -162,8 +180,8 @@ class EvalSession:
                 verbose=True)
 
             @jax.jit
-            def prep_lm_beam(variables, x):
-                logits = model.apply(variables, x, train=False)
+            def prep_lm_beam(variables, x, quant=None):
+                logits = apply_fwd(variables, x, quant)
                 cv, ci, blank_lp, n_above = topk_logsoftmax(logits, k=depth)
                 logz = jax.scipy.special.logsumexp(
                     logits.astype(jnp.float32), axis=-1)
@@ -173,7 +191,7 @@ class EvalSession:
             # nesting it inside another jit trips pjit const handling
             def forward_lm_beam(variables, x):
                 cv, ci, logits, logz, blank_lp, n_above = prep_lm_beam(
-                    variables, x)
+                    variables, x, self._quant)
                 return self._lm_adaptive.decode(
                     cv, ci, logits, logz, blank_lp, n_above)
 
@@ -195,8 +213,14 @@ class EvalSession:
         import jax.numpy as jnp
         x = jnp.asarray(images_nhwc)
         t0 = time.time()
+        if self.int8 and self._quant is None:
+            from ..serve.quant import calibrate_conv_amax, conv_site_count
+            self._quant = calibrate_conv_amax(self.model, self.variables,
+                                              [x])
+            print(f"[int8] calibrated {conv_site_count(self._quant)} conv "
+                  f"sites on the first batch; serving s8xs8->s32 convs")
         if self.use_beam and self.device_lm_beam:
-            outs = self._prep_lm_beam(self.variables, x)
+            outs = self._prep_lm_beam(self.variables, x, self._quant)
             pending = self._lm_adaptive.decode_async(*outs)
 
             def finalize():
@@ -204,20 +228,22 @@ class EvalSession:
                 texts = self.codec.compact_to_texts(prefixes, lengths)
                 return texts, time.time() - t0
         elif self.use_beam and self.device_beam:
-            prefixes, lengths = self._forward_beam(self.variables, x)
+            prefixes, lengths = self._forward_beam(self.variables, x,
+                                                   self._quant)
 
             def finalize():
                 texts = self.codec.compact_to_texts(prefixes, lengths)
                 return texts, time.time() - t0
         elif self.use_beam:
-            logits_dev = self._forward(self.variables, x)
+            logits_dev = self._forward(self.variables, x, self._quant)
 
             def finalize():
                 logits = np.asarray(logits_dev)
                 texts = self.beam.decode(logits.transpose(1, 0, 2))
                 return texts, time.time() - t0
         else:
-            chars, lengths = self._forward_greedy(self.variables, x)
+            chars, lengths = self._forward_greedy(self.variables, x,
+                                                  self._quant)
 
             def finalize():
                 texts = self.codec.compact_to_texts(chars, lengths)

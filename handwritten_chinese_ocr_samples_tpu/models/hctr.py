@@ -32,14 +32,81 @@ reference (`main.py:388`).
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.dropout import dropout_recompute
 
 Dtype = Any
+
+# quant: an optional nested dict mirroring the module tree, holding one
+# f32 input-absmax scalar per conv site (built by ``serve/quant.py``
+# calibration from the "intermediates" this module sows). When a site's
+# entry is present the conv runs int8 x int8 -> int32 on the MXU (~1.9x
+# bf16 on v5e — measured, NOTES.md round 3) with symmetric per-tensor
+# activation / per-channel weight scales; when absent (or quant is None)
+# the site runs the plain float path. Inference-only (`train=False`).
+
+
+def _qsub(quant, name: str):
+    """Child sub-dict of a nested quant tree (None-propagating)."""
+    return None if quant is None else quant.get(name)
+
+
+class QuantizableConv(nn.Conv):
+    """``nn.Conv`` with an optional int8 inference path.
+
+    Identical parameter names/shapes ("kernel", "bias") and float
+    behavior — existing checkpoints load unchanged and the float path IS
+    ``nn.Conv.__call__``. With ``amax`` (the calibrated absmax of this
+    site's input), the matmul runs s8 x s8 -> s32 and dequantizes into
+    the usual compute dtype:
+
+        x_q = round(x / s_x),  s_x = amax / 127        (per-tensor)
+        w_q = round(w / s_w),  s_w = absmax_w / 127    (per out-channel)
+        y   = conv(x_q, w_q, s32) * s_x * s_w + bias
+
+    Every call sows ``intermediates/amax_in`` (the input absmax) so a
+    float forward with ``mutable=["intermediates"]`` IS the calibration
+    pass. Weight scales derive from the live kernel inside the program —
+    there is nothing to keep in sync with the checkpoint."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 amax: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        self.sow("intermediates", "amax_in",
+                 jnp.max(jnp.abs(x)).astype(jnp.float32))
+        if amax is None:
+            return super().__call__(x)
+
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            (kh, kw, x.shape[-1], self.features), self.param_dtype)
+        bias = (self.param("bias", self.bias_init, (self.features,),
+                           self.param_dtype) if self.use_bias else None)
+
+        s_x = jnp.maximum(amax.astype(jnp.float32), 1e-8) / 127.0
+        w32 = kernel.astype(jnp.float32)
+        s_w = jnp.maximum(jnp.max(jnp.abs(w32), axis=(0, 1, 2)),
+                          1e-8) / 127.0                      # (Cout,)
+        x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x),
+                       -127, 127).astype(jnp.int8)
+        w_q = jnp.clip(jnp.round(w32 / s_w), -127, 127).astype(jnp.int8)
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = ((pad, pad), (pad, pad))
+        y = jax.lax.conv_general_dilated(
+            x_q, w_q, window_strides=(1, 1), padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * (s_x * s_w)
+        if bias is not None:
+            y = y + bias.astype(jnp.float32)
+        return y.astype(self.dtype)
 
 
 class _Dropout(nn.Module):
@@ -99,23 +166,27 @@ class BasicBlock(nn.Module):
     drop_rate: float = 0.1
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 quant=None) -> jnp.ndarray:
         residual = x
-        out = nn.Conv(self.planes, (3, 3), padding=1, dtype=self.dtype,
-                      name="conv1")(x)
+        out = QuantizableConv(self.planes, (3, 3), padding=1,
+                              dtype=self.dtype, name="conv1")(
+                                  x, _qsub(quant, "conv1"))
         out = nn.BatchNorm(use_running_average=not train,
                            momentum=self.bn_momentum, epsilon=1e-5,
                            dtype=self.dtype, name="bn1")(out)
         out = nn.relu(out)
-        out = nn.Conv(self.planes, (3, 3), padding=1, dtype=self.dtype,
-                      name="conv2")(out)
+        out = QuantizableConv(self.planes, (3, 3), padding=1,
+                              dtype=self.dtype, name="conv2")(
+                                  out, _qsub(quant, "conv2"))
         out = nn.BatchNorm(use_running_average=not train,
                            momentum=self.bn_momentum, epsilon=1e-5,
                            dtype=self.dtype, name="bn2")(out)
         out = SELayer(self.planes, dtype=self.dtype, name="se")(out)
         if self.use_downsample:
-            residual = nn.Conv(self.planes, (1, 1), use_bias=False,
-                               dtype=self.dtype, name="down_conv")(x)
+            residual = QuantizableConv(self.planes, (1, 1), use_bias=False,
+                                       dtype=self.dtype, name="down_conv")(
+                                           x, _qsub(quant, "down_conv"))
             residual = nn.BatchNorm(use_running_average=not train,
                                     momentum=self.bn_momentum, epsilon=1e-5,
                                     dtype=self.dtype, name="down_bn")(residual)
@@ -139,7 +210,8 @@ class SEResNetBackbone(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, *, train: bool,
+                 quant=None) -> jnp.ndarray:
         widths = [self.out_channels // 8, self.out_channels // 4,
                   self.out_channels // 2, self.out_channels,
                   self.out_channels]  # 64, 128, 256, 512, 512
@@ -151,13 +223,13 @@ class SEResNetBackbone(nn.Module):
                  if self.remat else BasicBlock)
 
         # Stem: conv-BN-ReLU x2, then height/2.
-        x = nn.Conv(widths[0], (3, 3), padding=1, dtype=self.dtype,
-                    name="conv0_1")(x)
+        x = QuantizableConv(widths[0], (3, 3), padding=1, dtype=self.dtype,
+                            name="conv0_1")(x, _qsub(quant, "conv0_1"))
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn0_1")(x)
         x = nn.relu(x)
-        x = nn.Conv(widths[0], (3, 3), padding=1, dtype=self.dtype,
-                    name="conv0_2")(x)
+        x = QuantizableConv(widths[0], (3, 3), padding=1, dtype=self.dtype,
+                            name="conv0_2")(x, _qsub(quant, "conv0_2"))
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn0_2")(x)
         x = nn.relu(x)
@@ -167,16 +239,18 @@ class SEResNetBackbone(nn.Module):
         for stage in range(4):
             planes = widths[stage + 1]
             for b in range(self.num_blocks[stage]):
+                name = f"block{stage + 1}_{b}"
                 x = Block(
                     planes,
                     use_downsample=(b == 0 and in_planes != planes),
                     dtype=self.dtype,
                     drop_rate=self.block_drop,
-                    name=f"block{stage + 1}_{b}",
-                )(x, train)
+                    name=name,
+                )(x, train, _qsub(quant, name))
                 in_planes = planes
-            x = nn.Conv(planes, (3, 3), padding=1, dtype=self.dtype,
-                        name=f"conv{stage + 1}")(x)
+            x = QuantizableConv(planes, (3, 3), padding=1, dtype=self.dtype,
+                                name=f"conv{stage + 1}")(
+                                    x, _qsub(quant, f"conv{stage + 1}"))
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype,
                              name=f"bn{stage + 1}")(x)
@@ -214,14 +288,16 @@ class HCTRModel(nn.Module):
     pred: str = "CTC"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, *, train: bool = False,
+                 quant=None) -> jnp.ndarray:
         x = x.astype(self.dtype)
         feats = SEResNetBackbone(out_channels=self.backbone_channels,
                                  num_blocks=tuple(self.num_blocks),
                                  dtype=self.dtype, remat=self.remat,
                                  stage_drop=tuple(self.stage_drop),
                                  block_drop=self.block_drop,
-                                 name="cnn")(x, train=train)
+                                 name="cnn")(x, train=train,
+                                             quant=_qsub(quant, "cnn"))
         # (B, H=4, W, C=512) -> (B, W, H*C=2048). Native flatten order is
         # (H, C); the torch checkpoint converter permutes the head weight from
         # the reference's (C, H) order (`handwritten_ctr_model.py:173`).

@@ -140,6 +140,7 @@ class ServingDaemon:
         batch = np.concatenate([x for _, x, _ in items]
                                + [items[-1][1]] * pad, axis=0)
         try:
+            engine._maybe_calibrate(batch)
             exe = engine._exe(self.batch_size, w)
             outputs = exe(engine.variables, jnp.asarray(batch))
             texts = engine._decode_outputs(outputs)

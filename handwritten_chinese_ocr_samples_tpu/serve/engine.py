@@ -96,7 +96,8 @@ class ServingEngine:
                  run_max: int = 8,
                  ctx_ladder: int = 96,
                  fused_commit: bool = False,
-                 lm_f32: bool = False):
+                 lm_f32: bool = False,
+                 int8: bool = False):
         import jax
         import jax.numpy as jnp
 
@@ -108,6 +109,22 @@ class ServingEngine:
         self._compiled: Dict[Tuple[int, int], object] = {}
         self._jax = jax
         self._host_beam = None
+        # int8 serving (`serve/quant.py`): scales calibrate on the first
+        # real batch; executables lowered afterwards bake them in. The
+        # infer closures read self._quant at trace time, so calibration
+        # clears the executable cache.
+        self._int8 = bool(int8)
+        self._quant = None
+        import inspect
+        if self._int8 and "quant" not in inspect.signature(
+                type(model).__call__).parameters:
+            raise ValueError("int8: this model has no quantized conv path")
+
+        def apply_fwd(variables, x):
+            if self._int8:
+                return model.apply(variables, x, train=False,
+                                   quant=self._quant)
+            return model.apply(variables, x, train=False)
 
         unknown_id = codec.unknown_id
         use_beam = decode_method == "beam-search"
@@ -145,8 +162,7 @@ class ServingEngine:
                 ctx_ladder=ctx_ladder, fused_commit=fused_commit)
 
             def infer(variables, x_u8):
-                logits = model.apply(variables, normalize(x_u8),
-                                     train=False)
+                logits = apply_fwd(variables, normalize(x_u8))
                 cv, ci, blank_lp, n_above = topk_logsoftmax(
                     logits, k=search_depth)
                 logz = jax.scipy.special.logsumexp(
@@ -158,8 +174,7 @@ class ServingEngine:
             dense = dense_merge_default()
 
             def infer(variables, x_u8):
-                logits = model.apply(variables, normalize(x_u8),
-                                     train=False)
+                logits = apply_fwd(variables, normalize(x_u8))
                 return beam_search_fused(
                     logits, beam_size=beam_size, depth=search_depth,
                     unknown_id=unknown_id, len_bonus=len_bonus,
@@ -184,25 +199,39 @@ class ServingEngine:
                 self._host_beam = native
 
             def infer(variables, x_u8):
-                logits = model.apply(variables, normalize(x_u8),
-                                     train=False)
+                logits = apply_fwd(variables, normalize(x_u8))
                 return jax.nn.log_softmax(
                     logits.astype(jnp.float32), axis=-1)
         else:
             from ..ops.decode import greedy_decode_device
 
             def infer(variables, x_u8):
-                logits = model.apply(variables, normalize(x_u8),
-                                     train=False)
+                logits = apply_fwd(variables, normalize(x_u8))
                 return greedy_decode_device(logits, None,
                                             unknown_id=unknown_id)
 
         self._infer = infer
+        self._normalize = normalize
         # eager AOT warmup for the declared shapes (the OpenVINO-IR
-        # analogue); other (batch, width) pairs compile lazily via _exe
-        for b in batch_sizes:
-            for w in self.widths:
-                self._exe(b, w)
+        # analogue); other (batch, width) pairs compile lazily via _exe.
+        # int8 mode defers compilation: the scales come from the first
+        # real batch, and executables must be lowered after them.
+        if not self._int8:
+            for b in batch_sizes:
+                for w in self.widths:
+                    self._exe(b, w)
+
+    def _maybe_calibrate(self, batch_u8: np.ndarray) -> None:
+        """First-batch int8 calibration; drops pre-calibration executables."""
+        if not self._int8 or self._quant is not None:
+            return
+        import jax.numpy as jnp
+        from .quant import calibrate_conv_amax, conv_site_count
+        x = self._normalize(jnp.asarray(batch_u8))
+        self._quant = calibrate_conv_amax(self.model, self.variables, [x])
+        self._compiled.clear()
+        print(f"[int8] calibrated {conv_site_count(self._quant)} conv "
+              f"sites; serving s8xs8->s32 convs")
 
     def bucket_for(self, width: int) -> int:
         for w in self.widths:
@@ -249,6 +278,7 @@ class ServingEngine:
         times: List[float] = []
         for f in image_files:
             w, x = self.preprocess_bucketed(f)
+            self._maybe_calibrate(x)
             exe = self._exe(1, w)
             for _ in range(iterations):
                 t0 = time.time()
@@ -305,13 +335,14 @@ class ServingEngine:
         prev = None
         for w, idxs in groups.items():
             bs = min(batch_size, len(idxs))
-            exe = self._exe(bs, w)
             for s in range(0, len(idxs), bs):
                 chunk = idxs[s: s + bs]
                 pad = bs - len(chunk)
                 batch = np.concatenate(
                     [arrays[i] for i in chunk]
                     + [arrays[chunk[-1]]] * pad, axis=0)
+                self._maybe_calibrate(batch)
+                exe = self._exe(bs, w)  # after calibration: scales baked
                 outputs = exe(self.variables, jnp.asarray(batch))
                 pending = (chunk, self._decode_outputs_async(outputs))
                 if prev is not None:
