@@ -25,6 +25,10 @@ def build_argparser():
                       help="comma-separated export batch sizes")
     args.add_argument("-cl", "--chars-list", type=str, default=None,
                       help="chars_list.txt path")
+    args.add_argument("--int8-calib", dest="int8_calib", type=str,
+                      default="", metavar="DIR",
+                      help="folder of calibration line images: export "
+                           "int8-conv artifacts with the scales baked in")
     # LM export (counterpart of `export_onnx.py:56-105`)
     args.add_argument("-tp", "--tfm-path", dest="tfm_path", type=str,
                       default="", help="char-LM dir to export alongside")
@@ -50,11 +54,34 @@ def main():
             args.model_type, chars_list_file=args.chars_list,
             dtype=jnp.bfloat16)
         variables = load_recognizer_variables(args.model_file)
+        widths = tuple(int(w) for w in args.widths.split(","))
+
+        quant = None
+        if args.int8_calib:
+            import os
+            import numpy as np
+            from ..serve.engine import preprocess_fixed_shape
+            from ..serve.quant import calibrate_conv_amax, conv_site_count
+            files = sorted(
+                os.path.join(args.int8_calib, f)
+                for f in os.listdir(args.int8_calib)
+                if f.lower().endswith((".png", ".jpg", ".jpeg", ".bmp")))
+            if not files:
+                raise SystemExit(f"--int8-calib: no images in "
+                                 f"{args.int8_calib}")
+            batch = np.concatenate(
+                [preprocess_fixed_shape(f, model.img_height, widths[0])
+                 for f in files[:16]], axis=0)
+            x = (jnp.asarray(batch).astype(jnp.float32) - 127.5) / 127.5
+            quant = calibrate_conv_amax(model, variables, [x])
+            print(f"[int8] calibrated {conv_site_count(quant)} conv sites "
+                  f"on {min(len(files), 16)} images")
+
         meta = export_model(
             model, variables, args.out_dir, tag=args.model_type,
-            widths=tuple(int(w) for w in args.widths.split(",")),
+            widths=widths,
             batch_sizes=tuple(int(b) for b in args.batch_sizes.split(",")),
-            unknown_id=len(characters) + 1)
+            unknown_id=len(characters) + 1, quant=quant)
         print(f"exported: {meta['artifacts']} -> {args.out_dir}")
 
     if args.tfm_path:

@@ -26,7 +26,12 @@ import numpy as np
 def export_model(model, variables, out_dir: str, tag: str = "hctr",
                  widths: Sequence[int] = (512, 1024, 1600),
                  batch_sizes: Sequence[int] = (1,),
-                 unknown_id: int | None = None) -> dict:
+                 unknown_id: int | None = None,
+                 quant=None) -> dict:
+    """``quant``: optional int8 conv-scale tree from
+    ``serve.quant.calibrate_conv_amax`` — when given, the exported
+    StableHLO runs the s8xs8->s32 conv path with the scales baked in as
+    constants (the artifact is self-contained either way)."""
     import jax
     import jax.numpy as jnp
     from jax import export as jexport
@@ -40,7 +45,10 @@ def export_model(model, variables, out_dir: str, tag: str = "hctr",
 
     def infer(variables, x_u8):
         x = (x_u8.astype(jnp.float32) - 127.5) / 127.5
-        logits = model.apply(variables, x, train=False)
+        if quant is not None:
+            logits = model.apply(variables, x, train=False, quant=quant)
+        else:
+            logits = model.apply(variables, x, train=False)
         return greedy_decode_device(logits, None, unknown_id=unknown_id)
 
     h = model.img_height
@@ -75,6 +83,7 @@ def export_model(model, variables, out_dir: str, tag: str = "hctr",
         "weights": f"{tag}_weights",
         "input": "uint8 NHWC grayscale, raw pixels (normalization is fused)",
         "output": "compact collapsed char indices + lengths",
+        "int8": quant is not None,
     }
     with open(os.path.join(out_dir, f"{tag}_meta.json"), "w") as f:
         json.dump(meta, f, indent=2)

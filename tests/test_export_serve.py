@@ -128,3 +128,38 @@ def test_lm_export_overflow_truncates(tmp_path):
     # (same as the live scorer), so only the row count is exact
     got_k = exported.next_k_words([long], 3, char_based=True)
     assert len(got_k) == 1 and 1 <= len(got_k[0]) <= 3
+
+
+def test_export_int8_round_trip(tmp_path):
+    """An int8 export bakes the calibration scales in: the deserialized
+    StableHLO matches the live quantized model exactly."""
+    from handwritten_chinese_ocr_samples_tpu.ops.decode import (
+        greedy_decode_device)
+    from handwritten_chinese_ocr_samples_tpu.serve.quant import (
+        calibrate_conv_amax)
+    import json
+
+    codec = CTCCodec(CHARS)
+    model = tiny_model(codec.num_classes)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.key(0)}, jnp.zeros((1, 128, 64, 1)),
+        train=False)
+    x = np.random.default_rng(1).integers(
+        0, 256, (1, 128, 64, 1), dtype=np.uint8)
+    xf = (jnp.asarray(x).astype(jnp.float32) - 127.5) / 127.5
+    quant = calibrate_conv_amax(model, variables, [xf])
+
+    meta = export_model(model, variables, str(tmp_path), tag="hctr",
+                        widths=(64,), batch_sizes=(1,),
+                        unknown_id=codec.unknown_id, quant=quant)
+    assert meta["int8"] is True
+    assert json.load(open(tmp_path / "hctr_meta.json"))["int8"] is True
+
+    fn = load_exported(str(tmp_path / "hctr_b1_w64.stablehlo"))
+    chars, lengths = fn(variables, jnp.asarray(x))
+    logits = model.apply(variables, xf, train=False, quant=quant)
+    want_chars, want_lengths = greedy_decode_device(
+        logits, None, unknown_id=codec.unknown_id)
+    np.testing.assert_array_equal(np.asarray(lengths),
+                                  np.asarray(want_lengths))
+    np.testing.assert_array_equal(np.asarray(chars), np.asarray(want_chars))
