@@ -298,6 +298,7 @@ class PendingDecode:
 
     def _dispatch(self):
         b = self._beam
+        self._ctx_at_dispatch = b._ctx
         fn = b._fn(self._T, self._B)
         cand_vals, cand_idx, logits, logz, blank_lp, n_above = self._args
         if b.skip:
@@ -315,7 +316,11 @@ class PendingDecode:
                 raise RuntimeError(
                     f"LM KV cache overflowed at pinned lm_ctx={b._ctx}; "
                     f"raise --lm-ctx or use 0 (auto)")
-            b._ctx = b._escalated_ctx()
+            # another in-flight batch may have escalated the shared ctx
+            # since this dispatch — retry at the current ctx before
+            # escalating past it
+            if b._ctx <= self._ctx_at_dispatch:
+                b._ctx = b._escalated_ctx()
             if b._verbose:
                 print(f"[lm-beam] KV overflow -> escalating ctx to "
                       f"{b._ctx} and re-decoding batch")
