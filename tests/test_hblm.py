@@ -162,3 +162,42 @@ def test_rejects_truncated_file(hblm_path, tmp_path):
     clipped.write_bytes(data[: len(data) // 3])
     with pytest.raises((ValueError, struct.error)):
         HblmLM(str(clipped))
+
+
+def test_fuzz_orders_estimator_hblm_native(tmp_path):
+    """Random corpora -> Witten-Bell ARPA (orders 1..5) -> HBLM: the
+    Python mmap loader and the native C++ loader must score exactly like
+    the text-ARPA reader on random sentences (incl. OOV), across orders
+    and vocabulary sizes."""
+    from handwritten_chinese_ocr_samples_tpu.decode.beam_host_native import (
+        NativeArpaLM, native_available)
+    from handwritten_chinese_ocr_samples_tpu.lm.ngram_train import (
+        train_ngram_arpa)
+
+    rng = np.random.default_rng(21)
+    for order in (1, 2, 3, 5):
+        vocab = [chr(0x4E00 + i) for i in range(int(rng.integers(5, 40)))]
+        corpus = tmp_path / f"c{order}.txt"
+        with open(corpus, "w", encoding="utf-8") as f:
+            for _ in range(120):
+                k = int(rng.integers(1, 12))
+                f.write(" ".join(rng.choice(vocab, k)) + "\n")
+        arpa = str(tmp_path / f"m{order}.arpa")
+        hblm = str(tmp_path / f"m{order}.hblm")
+        train_ngram_arpa(str(corpus), arpa, order=order)
+        build_hblm(arpa, hblm)
+
+        src, lm = ArpaLM(arpa), HblmLM(hblm)
+        cc = NativeArpaLM(hblm) if native_available() else None
+        alphabet = vocab + ["䷿", "䷾"]        # OOV chars
+        for _ in range(30):
+            k = int(rng.integers(0, 14))
+            s = " ".join(rng.choice(alphabet, k)) if k else ""
+            for eos in (False, True):
+                want = src.score(s, eos=eos)
+                assert lm.score(s, eos=eos) == pytest.approx(
+                    want, abs=1e-4), (order, s, eos)
+                if cc is not None:
+                    assert cc.score(s, eos=eos) == pytest.approx(
+                        want, abs=1e-4), (order, s, eos, "native")
+        lm.close()
