@@ -52,6 +52,9 @@ def main():
     ap.add_argument("--seg-budget", type=int, default=52)
     ap.add_argument("--budget", type=int, default=192)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--lm-dtype", default="bf16", choices=["bf16", "f32"],
+                    help="LM compute/cache dtype; f32 isolates whether an "
+                         "arm's decode diffs are bf16 regrouping ties")
     ap.add_argument("--only", default="",
                     help="comma-separated substrings; empty = all")
     args = ap.parse_args()
@@ -78,7 +81,9 @@ def main():
     lm_params = jax.jit(model.init, static_argnames=("train",))(
         {"params": jax.random.key(0)},
         jnp.zeros((1, 8), jnp.int32), train=False)["params"]
-    clm = CachedLM(model, lm_params, dtype=jnp.bfloat16)
+    clm = CachedLM(model, lm_params,
+                   dtype=(jnp.float32 if args.lm_dtype == "f32"
+                          else jnp.bfloat16))
     c2l, l2c = make_id_tables(codec, tokenizer)
 
     print(f"synthesizing logits ({B}x{T}x{D})...", flush=True)
