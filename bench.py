@@ -212,9 +212,9 @@ def main():
     # scales on one batch, then the same greedy pipeline with s8xs8->s32
     # convs on the MXU (~1.9x bf16 conv rate on v5e).
     from handwritten_chinese_ocr_samples_tpu.serve.quant import (
-        calibrate_conv_amax)
+        calibrate_for_model)
     x_cal = jax.device_put(batches[0], dev).astype(jnp.float32) / 127.5 - 1.0
-    quant = calibrate_conv_amax(model, variables, [x_cal])
+    quant = calibrate_for_model(model, variables, [x_cal])
     del x_cal
     greedy_i8_lps = _bench_greedy(jax, jnp, model, variables, codec,
                                   batches, dev, quant=quant)

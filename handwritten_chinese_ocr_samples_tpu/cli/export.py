@@ -61,7 +61,7 @@ def main():
             import os
             import numpy as np
             from ..serve.engine import preprocess_fixed_shape
-            from ..serve.quant import calibrate_conv_amax, conv_site_count
+            from ..serve.quant import calibrate_for_model
             files = sorted(
                 os.path.join(args.int8_calib, f)
                 for f in os.listdir(args.int8_calib)
@@ -73,9 +73,7 @@ def main():
                 [preprocess_fixed_shape(f, model.img_height, widths[0])
                  for f in files[:16]], axis=0)
             x = (jnp.asarray(batch).astype(jnp.float32) - 127.5) / 127.5
-            quant = calibrate_conv_amax(model, variables, [x])
-            print(f"[int8] calibrated {conv_site_count(quant)} conv sites "
-                  f"on {min(len(files), 16)} images")
+            quant = calibrate_for_model(model, variables, [x])
 
         meta = export_model(
             model, variables, args.out_dir, tag=args.model_type,

@@ -105,16 +105,15 @@ class EvalSession:
         # from None to the calibrated tree retraces exactly once
         self._quant = None
         self.int8 = bool(getattr(args, "int8", False))
-        import inspect
-        supports_quant = "quant" in inspect.signature(
-            type(model).__call__).parameters
-        if self.int8 and not supports_quant:
+        from ..serve.quant import supports_quant as _supports_quant
+        has_quant_path = _supports_quant(model)
+        if self.int8 and not has_quant_path:
             raise ValueError(
                 f"--int8: model '{args.model_type}' has no quantized "
                 f"conv path")
 
         def apply_fwd(variables, x, quant):
-            if supports_quant:
+            if has_quant_path:
                 return model.apply(variables, x, train=False, quant=quant)
             return model.apply(variables, x, train=False)
 
@@ -188,14 +187,8 @@ class EvalSession:
                 return cv, ci, logits, logz, blank_lp, n_above
 
             # two dispatches: the adaptive decoder jits separately, and
-            # nesting it inside another jit trips pjit const handling
-            def forward_lm_beam(variables, x):
-                cv, ci, logits, logz, blank_lp, n_above = prep_lm_beam(
-                    variables, x, self._quant)
-                return self._lm_adaptive.decode(
-                    cv, ci, logits, logz, blank_lp, n_above)
-
-            self._forward_lm_beam = forward_lm_beam
+            # nesting it inside another jit trips pjit const handling —
+            # decode_batch_async chains them
             self._prep_lm_beam = prep_lm_beam
 
     # ------------------------------------------------------------- decode
@@ -214,11 +207,9 @@ class EvalSession:
         x = jnp.asarray(images_nhwc)
         t0 = time.time()
         if self.int8 and self._quant is None:
-            from ..serve.quant import calibrate_conv_amax, conv_site_count
-            self._quant = calibrate_conv_amax(self.model, self.variables,
+            from ..serve.quant import calibrate_for_model
+            self._quant = calibrate_for_model(self.model, self.variables,
                                               [x])
-            print(f"[int8] calibrated {conv_site_count(self._quant)} conv "
-                  f"sites on the first batch; serving s8xs8->s32 convs")
         if self.use_beam and self.device_lm_beam:
             outs = self._prep_lm_beam(self.variables, x, self._quant)
             pending = self._lm_adaptive.decode_async(*outs)
@@ -312,13 +303,15 @@ def run_benchmark(args) -> float:
     loader = DataLoader(dataset, args.batch_size, collate,
                         num_workers=args.workers)
 
-    dist_sum, len_sum, n_img, t_total = 0, 0, 0, 0.0
+    dist_sum, len_sum, n_img = 0, 0, 0
+    t_first = None  # wall clock from the first dispatch: with one batch
+    # in flight, per-batch finalize intervals overlap, so summing them
+    # would double-count; pipeline throughput is the honest metric
 
     def consume(entry):
-        nonlocal dist_sum, len_sum, n_img, t_total
+        nonlocal dist_sum, len_sum, n_img
         i, finalize, labels = entry
-        texts, dt = finalize()
-        t_total += dt
+        texts, _ = finalize()
         n_img += len(texts)
         d, t = cer_counts(texts, labels)
         dist_sum += d
@@ -327,14 +320,17 @@ def run_benchmark(args) -> float:
             for p, g in zip(texts, labels):
                 print(f"PRE: {p}\nTRU: {g}")
         if (i + 1) % args.print_freq == 0:
+            elapsed = time.time() - t_first
             print(f"[{i + 1}/{len(loader)}] CER so far: "
                   f"{dist_sum / max(len_sum, 1):.4f} "
-                  f"({t_total / max(n_img, 1) * 1000:.1f} ms/img)")
+                  f"({elapsed / max(n_img, 1) * 1000:.1f} ms/img wall)")
 
     # one batch in flight: batch i's host tail (D2H, strings, CER) runs
     # while batch i+1 computes on device
     prev = None
     for i, batch in enumerate(loader):
+        if t_first is None:
+            t_first = time.time()
         finalize = session.decode_batch_async(batch["images"])
         if prev is not None:
             consume(prev)

@@ -82,6 +82,20 @@ class QuantizableConv(nn.Conv):
         if amax is None:
             return super().__call__(x)
 
+        # the int8 branch implements the plain-conv subset this model
+        # uses; fail loudly if a future site strays from it
+        def _pair(v):
+            if v is None:
+                return (1, 1)
+            return (v, v) if isinstance(v, int) else tuple(v)
+
+        if (_pair(self.strides) != (1, 1)
+                or self.feature_group_count != 1
+                or _pair(self.kernel_dilation) != (1, 1)
+                or _pair(self.input_dilation) != (1, 1)):
+            raise NotImplementedError(
+                "QuantizableConv int8 path supports stride-1, undilated, "
+                "ungrouped convs only")
         kh, kw = self.kernel_size
         kernel = self.param(
             "kernel", self.kernel_init,

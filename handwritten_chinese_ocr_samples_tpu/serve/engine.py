@@ -115,10 +115,11 @@ class ServingEngine:
         # clears the executable cache.
         self._int8 = bool(int8)
         self._quant = None
-        import inspect
-        if self._int8 and "quant" not in inspect.signature(
-                type(model).__call__).parameters:
-            raise ValueError("int8: this model has no quantized conv path")
+        if self._int8:
+            from .quant import supports_quant
+            if not supports_quant(model):
+                raise ValueError(
+                    "int8: this model has no quantized conv path")
 
         def apply_fwd(variables, x):
             if self._int8:
@@ -226,12 +227,10 @@ class ServingEngine:
         if not self._int8 or self._quant is not None:
             return
         import jax.numpy as jnp
-        from .quant import calibrate_conv_amax, conv_site_count
+        from .quant import calibrate_for_model
         x = self._normalize(jnp.asarray(batch_u8))
-        self._quant = calibrate_conv_amax(self.model, self.variables, [x])
-        self._compiled.clear()
-        print(f"[int8] calibrated {conv_site_count(self._quant)} conv "
-              f"sites; serving s8xs8->s32 convs")
+        self._quant = calibrate_for_model(self.model, self.variables, [x])
+        self._compiled.clear()  # anything lowered pre-calibration is float
 
     def bucket_for(self, width: int) -> int:
         for w in self.widths:

@@ -76,3 +76,25 @@ def calibrate_conv_amax(model, variables, batches: Iterable[jnp.ndarray],
 def conv_site_count(quant_tree: Dict[str, Any]) -> int:
     """Number of quantized conv sites in a calibration tree."""
     return len(jax.tree.leaves(quant_tree))
+
+
+def supports_quant(model) -> bool:
+    """Whether the model's ``__call__`` accepts the ``quant`` tree."""
+    import inspect
+    return "quant" in inspect.signature(type(model).__call__).parameters
+
+
+def calibrate_for_model(model, variables, batches,
+                        announce: bool = True) -> Dict[str, Any]:
+    """Guarded calibration used by every int8 entry point (eval driver,
+    serving engine, export CLI, bench): raises a clear error for models
+    without a quantized conv path and prints the standard one-liner."""
+    if not supports_quant(model):
+        raise ValueError(
+            f"int8: model {type(model).__name__} has no quantized conv "
+            f"path (its __call__ takes no `quant` tree)")
+    tree = calibrate_conv_amax(model, variables, batches)
+    if announce:
+        print(f"[int8] calibrated {conv_site_count(tree)} conv sites; "
+              f"serving s8xs8->s32 convs")
+    return tree
