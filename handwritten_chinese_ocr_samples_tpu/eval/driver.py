@@ -100,6 +100,28 @@ class EvalSession:
         model = self.model
         unknown_id = self.codec.unknown_id
 
+        # data-parallel decode (`-dp N`): lines are independent, so eval
+        # shards the batch axis over a ``data`` mesh — the inference-side
+        # counterpart of the reference's train-only DDP (`main.py:157-237`;
+        # its test.py is single-device). Plain forwards partition via
+        # GSPMD from the input sharding; the scan-based LM-fused search
+        # goes through shard_map (decode/adaptive.py).
+        ndp = int(getattr(args, "data_parallel", 0) or 0)
+        self._mesh = None
+        if ndp > 1:
+            from ..parallel.mesh import make_mesh
+            n_dev = len(jax.devices())
+            if ndp > n_dev:
+                raise ValueError(
+                    f"--data-parallel {ndp} exceeds the {n_dev} visible "
+                    f"devices")
+            if args.batch_size % ndp != 0:
+                raise ValueError(
+                    f"--data-parallel {ndp} must divide the batch size "
+                    f"{args.batch_size}")
+            self._mesh = make_mesh(data=ndp, model=1,
+                                   devices=jax.devices()[:ndp])
+
         # int8 conv scales (``serve/quant.py``), calibrated lazily on the
         # first batch when --int8; passed as a jit ARGUMENT so the switch
         # from None to the calibrated tree retraces exactly once
@@ -176,7 +198,7 @@ class EvalSession:
                 run_max=getattr(args, "run_max", 8),
                 ctx_ladder=getattr(args, "ctx_ladder", 96),
                 fused_commit=getattr(args, "fused_commit", False),
-                verbose=True)
+                mesh=self._mesh, verbose=True)
 
             @jax.jit
             def prep_lm_beam(variables, x, quant=None):
@@ -205,6 +227,10 @@ class EvalSession:
         dispatch-then-finalize semantics of the reference hot loop."""
         import jax.numpy as jnp
         x = jnp.asarray(images_nhwc)
+        if self._mesh is not None:
+            import jax
+            from ..parallel.mesh import batch_sharding
+            x = jax.device_put(x, batch_sharding(self._mesh))
         t0 = time.time()
         if self.int8 and self._quant is None:
             from ..serve.quant import calibrate_for_model

@@ -132,3 +132,28 @@ def test_run_single_on_reference_samples(artifacts):
     args = _args(root, ckpt, lm_dir, input=sample, benchmark_mode=False,
                  decode_method="greedy-search", batch_size=1)
     run_single(args)  # must not raise; prints file/pred/throughput
+
+
+def test_benchmark_data_parallel_matches_single(artifacts):
+    """`-dp N` shards eval batches over the (virtual) device mesh and
+    reproduces the single-device CER for greedy AND the LM-fused beam
+    (the inference-side counterpart of the reference's train-only DDP)."""
+    from handwritten_chinese_ocr_samples_tpu.eval.driver import run_benchmark
+    root, ckpt, lm_dir = artifacts
+
+    for over in (dict(),
+                 dict(decode_method="beam-search", use_tfm_pred=True,
+                      use_tfm_score=True, skip_search=True, lm_f32=True)):
+        want = run_benchmark(_args(root, ckpt, lm_dir, **over))
+        got = run_benchmark(_args(root, ckpt, lm_dir, data_parallel=4,
+                                  **over))
+        assert got == pytest.approx(want, abs=1e-12), over
+
+
+def test_data_parallel_validation(artifacts):
+    from handwritten_chinese_ocr_samples_tpu.eval.driver import EvalSession
+    root, ckpt, lm_dir = artifacts
+    with pytest.raises(ValueError, match="divide the batch"):
+        EvalSession(_args(root, ckpt, lm_dir, data_parallel=3))
+    with pytest.raises(ValueError, match="exceeds"):
+        EvalSession(_args(root, ckpt, lm_dir, data_parallel=64))
