@@ -77,7 +77,7 @@ class AdaptiveLMBeam:
                  skip_search: bool = True, group_size: int = 8,
                  lm_ctx: int = 0, seg_budget: int = 0, run_max: int = 8,
                  ctx_ladder: int = 96, fused_commit: bool = False,
-                 mesh=None, verbose: bool = False):
+                 dense_merge=None, mesh=None, verbose: bool = False):
         self._clm = clm
         self._c2l = codec2lm
         self._l2c = lm2codec
@@ -114,6 +114,14 @@ class AdaptiveLMBeam:
         self._ladder_bound = 1 << 30
         self._ladder_k = 0
         self._fused = bool(fused_commit) and self.skip
+        # dense per-step merge: +1.5% at production shape but a
+        # regrouping variant (one near-tie line flips on the synthetic
+        # A/B posteriors) — opt-in, never the default, like the Pallas
+        # kernel variants. None = read HCTR_LM_DENSE_MERGE.
+        if dense_merge is None:
+            import os
+            dense_merge = os.environ.get("HCTR_LM_DENSE_MERGE", "") == "1"
+        self._dense = bool(dense_merge)
         self._fns = {}
         self._stats = None  # lazy jitted device-side knob-sizing maxima
         self._sizing = None  # lazy jitted fused stats+ladder (one fetch)
@@ -169,13 +177,14 @@ class AdaptiveLMBeam:
                     group_size=group, peek_rows=self._peek or None,
                     ctx_ladder=((self._ladder_k, self._ladder_ctx)
                                 if self._ladder_k else None),
-                    fused_commit=self._fused,
+                    fused_commit=self._fused, dense_merge=self._dense,
                     **self._kw)
             else:
                 fn = make_lm_beam_search(
                     self._clm, self._c2l, self._l2c, skip_search=False,
                     lm_ctx=self._ctx, group_size=group,
-                    frame_budget=self._fb or None, **self._kw)
+                    frame_budget=self._fb or None,
+                    dense_merge=self._dense, **self._kw)
             if self._mesh is not None:
                 from ..parallel.mesh import shard_batched_fn
                 fn = shard_batched_fn(fn, self._mesh)

@@ -147,6 +147,9 @@ def main():
         ("dense-merge", {}, dict(group_size=8, peek_rows=pr,
                                  dense_merge=True), False),
         *[(n, e, kw, True) for n, e, kw in ladders],
+        # dense per-step merge composed with the ladder (regrouping arm)
+        *[(f"{n}+dense", {}, dict(kw, dense_merge=True), False)
+          for n, _, kw in ladders],
     ]
     if args.include_fused:
         # fused_commit combines the run/peek/commit flash partials at
