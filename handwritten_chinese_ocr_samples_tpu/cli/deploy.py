@@ -35,6 +35,11 @@ def build_argparser():
                            "request-queue daemon (deadline batching)")
     args.add_argument("--max-delay-ms", type=float, default=50.0,
                       help="daemon mode: max per-request queueing latency")
+    args.add_argument("--stdin", dest="stdin_stream", action="store_true",
+                      help="daemon mode: run as a continuous service — "
+                           "read image paths from stdin (one per line), "
+                           "write 'path\\tprediction' to stdout as each "
+                           "resolves; exits after EOF drains")
     args.add_argument("-cl", "--chars-list", type=str, default=None,
                       help="chars_list.txt path")
     args.add_argument("-w", "--widths", type=str, default="512,1024,1600",
@@ -121,6 +126,9 @@ def main():
         lm_f32=args.lm_f32,
         int8=args.int8)
 
+    if args.daemon and args.stdin_stream:
+        return serve_stdin(engine, args)
+
     if os.path.isfile(args.input):
         files = [args.input]
         iters = args.number_iter
@@ -162,3 +170,46 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def serve_stdin(engine, args) -> None:
+    """Continuous service loop: stdin paths -> stdout predictions.
+
+    Each line of stdin is an image path, submitted to the deadline-
+    batched daemon; each result prints as ``path\\tprediction`` (errors
+    as ``path\\tERROR: ...``) the moment its future resolves, so
+    downstream consumers can pipe. EOF stops intake; queued requests
+    drain before exit. This is the long-running-service counterpart of
+    the reference's one-shot deploy loop (`deploy.py:109-125`)."""
+    import threading
+    from ..serve.daemon import ServingDaemon
+
+    out_lock = threading.Lock()
+
+    def emit(path, fut):
+        try:
+            text = fut.result()
+            line = f"{path}\t{text}"
+        except Exception as e:  # noqa: BLE001 — report per-request
+            line = f"{path}\tERROR: {e}"
+        with out_lock:
+            print(line, flush=True)
+
+    bs = max(args.batch_size, 1)
+    log.info(f"daemon ready (batch {bs}, deadline {args.max_delay_ms} ms); "
+             f"reading image paths from stdin")
+    with ServingDaemon(engine, batch_size=bs,
+                       max_delay_ms=args.max_delay_ms) as daemon:
+        for raw in sys.stdin:
+            path = raw.strip()
+            if not path:
+                continue
+            try:
+                fut = daemon.submit(path)
+            except Exception as e:  # unreadable file etc.
+                with out_lock:
+                    print(f"{path}\tERROR: {e}", flush=True)
+                continue
+            fut.add_done_callback(
+                lambda f, p=path: emit(p, f))
+    log.info("stdin closed; drained")

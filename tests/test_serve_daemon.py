@@ -87,3 +87,40 @@ def test_pick_flush_expired_beats_full():
     # with no expiry due, the full bucket flushes
     d._queues = {512: full_q, 1600: deque([(now, None, None)])}
     assert d._pick_flush(now)[0] == 512
+
+
+def test_stdin_service_mode():
+    """`deploy.py --daemon --stdin` is a continuous service: paths in,
+    `path\\tprediction` out in resolution order, per-request errors
+    reported inline, clean drain on EOF."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "demo", "hard")
+    if not os.path.isdir(os.path.join(root, "checkpoint")):
+        pytest.skip("hard demo artifact not present")
+    test_dir = os.path.join(root, "data", "test")
+    files = sorted(os.path.join(test_dir, f)
+                   for f in os.listdir(test_dir))[:4]
+    stdin_text = "\n".join(files + [os.path.join(test_dir, "missing.png")])
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    proc = subprocess.run(
+        [sys.executable, "deploy.py", "-lang", "hctr-tiny",
+         "-m", os.path.join(root, "checkpoint"), "-i", test_dir,
+         "-cl", os.path.join(root, "data", "chars_list.txt"),
+         "-w", "320", "-b", "2", "--daemon", "--stdin",
+         "--max-delay-ms", "20"],
+        input=stdin_text, capture_output=True, text=True, timeout=540,
+        cwd=os.path.dirname(os.path.dirname(root)), env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    got = dict(line.split("\t", 1) for line in proc.stdout.splitlines()
+               if "\t" in line)
+    for f in files:
+        assert f in got and got[f] and not got[f].startswith("ERROR"), f
+    missing = os.path.join(test_dir, "missing.png")
+    assert got[missing].startswith("ERROR")
+    assert "drained" in proc.stdout
