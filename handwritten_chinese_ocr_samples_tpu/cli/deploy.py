@@ -72,7 +72,7 @@ def build_argparser():
     args.add_argument("--seg-budget", dest="seg_budget", type=int, default=0)
     args.add_argument("--run-max", dest="run_max", type=int, default=8)
     args.add_argument("--ctx-ladder", dest="ctx_ladder", type=int,
-                      default=96)
+                      default=112)
     args.add_argument("--fused-commit", dest="fused_commit",
                       action="store_true")
     args.add_argument("--lm-f32", dest="lm_f32", action="store_true")

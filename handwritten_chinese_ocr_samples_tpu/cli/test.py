@@ -80,10 +80,10 @@ def build_argparser():
     args.add_argument("--run-max", dest="run_max", type=int, default=8,
                       help="max char-fast frames per compacted segment")
     args.add_argument("--ctx-ladder", dest="ctx_ladder", type=int,
-                      default=96,
+                      default=112,
                       help="KV-context ladder first-rung depth: scan the "
                            "early segments on a cache this deep before "
-                           "climbing to the full context (default 96, "
+                           "climbing to the full context (default 112, "
                            "0 = off; exact — the rung length is sized per "
                            "batch from a sound bound)")
     args.add_argument("--fused-commit", dest="fused_commit",

@@ -26,7 +26,7 @@ one value either truncates long lines or wastes compile-size on short ones.
   bound instead of all ``depth + lm_depth`` candidates (exact; 14.65 ->
   17.5 lines/sec at the production config, NOTES.md round 3).
 * **KV-context ladder** defaults ON with a 96-deep first rung
-  (``ctx_ladder=96``; 0 disables): the early segments — where beams have
+  (``ctx_ladder=112``; 0 disables): the early segments — where beams have
   committed few tokens — scan on a shallow KV cache before climbing to the
   full context. The rung length is sized per batch from a sound bound
   (``count_ladder_segments``), so it is exact; measured 17.3 -> 18.4
@@ -76,7 +76,7 @@ class AdaptiveLMBeam:
                  len_bonus: float, use_lm_pred: bool = True,
                  skip_search: bool = True, group_size: int = 8,
                  lm_ctx: int = 0, seg_budget: int = 0, run_max: int = 8,
-                 ctx_ladder: int = 96, fused_commit: bool = False,
+                 ctx_ladder: int = 112, fused_commit: bool = False,
                  dense_merge=None, mesh=None, verbose: bool = False):
         self._clm = clm
         self._c2l = codec2lm

@@ -196,7 +196,7 @@ class EvalSession:
                 lm_ctx=getattr(args, "lm_ctx", 0),
                 seg_budget=getattr(args, "seg_budget", 0),
                 run_max=getattr(args, "run_max", 8),
-                ctx_ladder=getattr(args, "ctx_ladder", 96),
+                ctx_ladder=getattr(args, "ctx_ladder", 112),
                 fused_commit=getattr(args, "fused_commit", False),
                 mesh=self._mesh, verbose=True)
 

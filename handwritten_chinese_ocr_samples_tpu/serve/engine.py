@@ -94,7 +94,7 @@ class ServingEngine:
                  lm_group: int = 8,
                  seg_budget: int = 0,
                  run_max: int = 8,
-                 ctx_ladder: int = 96,
+                 ctx_ladder: int = 112,
                  fused_commit: bool = False,
                  lm_f32: bool = False,
                  int8: bool = False):

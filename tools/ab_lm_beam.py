@@ -105,7 +105,7 @@ def main():
     pr = count_peek_rows(np.asarray(n_above), depth=10, use_lm_pred=True)
     print(f"peek rows: {pr} (of 20)", flush=True)
     ladders = []
-    for ctx1 in (64, 96):
+    for ctx1 in (64, 96, 112):
         if ctx1 >= args.lm_ctx:
             continue
         k1 = min(count_ladder_segments(

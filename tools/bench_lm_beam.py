@@ -46,7 +46,7 @@ def main():
     ap.add_argument("--peek-rows", type=int, default=-1,
                     help="peek-row compaction budget (-1 = auto via "
                          "count_peek_rows, 0 = off)")
-    ap.add_argument("--ctx-ladder", type=int, default=96,
+    ap.add_argument("--ctx-ladder", type=int, default=112,
                     help="KV-context ladder first-rung depth (default 96, "
                          "0 = off); the rung length auto-sizes from the "
                          "sound count_ladder_segments bound")
