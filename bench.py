@@ -235,7 +235,7 @@ def main():
             "lm_beam_e2e_lines_per_sec_per_chip_b32_w1200": round(lm_lps, 2),
             "lm_beam_e2e_int8_lines_per_sec_per_chip_b32_w1200": round(
                 lm_i8_lps, 2),
-            "lm_beam_decode_only_r3_lines_per_sec": 18.44,
+            "lm_beam_decode_only_r3_lines_per_sec": 18.77,
             "lm_beam_path": "test.py -bm -dm beam-search -utp -uts -ss "
                             "(forward + Pallas top-K + adaptive LM-fused "
                             "skip-search, 512d/6L LM)",
