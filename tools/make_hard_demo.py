@@ -264,7 +264,11 @@ def main():
                        text)
         ng_alpha, ng_beta = ((float(mn.group(1)), float(mn.group(2)))
                              if mn else (1.0, 0.5))
-        tune_cer = ng_tune_cer = float("nan")
+        # keep the recorded tune CERs — a skip-grid re-eval should not
+        # degrade the committed artifact to nan
+        mt = re.findall(r"tune CER ([\d.]+|nan)", text)
+        tune_cer = float(mt[0]) if mt else float("nan")
+        ng_tune_cer = float(mt[1]) if len(mt) > 1 else float("nan")
     else:
         alpha, beta, tune_cer = grid_search(
             tune, ("-utp", "-uts", "-tp", lm_dir))
