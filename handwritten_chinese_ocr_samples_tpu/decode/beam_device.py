@@ -291,7 +291,7 @@ def beam_search_from_topk(
 
 
 @partial(jax.jit, static_argnames=("beam_size", "depth", "unknown_id",
-                                   "blank_id"))
+                                   "blank_id", "dense_merge"))
 def beam_search_device(
     logp: jnp.ndarray,            # (B, T, D) log-softmax
     *,
