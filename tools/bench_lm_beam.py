@@ -47,7 +47,7 @@ def main():
                     help="peek-row compaction budget (-1 = auto via "
                          "count_peek_rows, 0 = off)")
     ap.add_argument("--ctx-ladder", type=int, default=112,
-                    help="KV-context ladder first-rung depth (default 96, "
+                    help="KV-context ladder first-rung depth (default 112, "
                          "0 = off); the rung length auto-sizes from the "
                          "sound count_ladder_segments bound")
     ap.add_argument("--fused-commit", action="store_true",
