@@ -115,6 +115,9 @@ def build_argparser():
     args.add_argument("--host-beam", dest="host_beam", action="store_true",
                       help="force the host beam-search decoder (device "
                            "decoding is the default where supported)")
+    args.add_argument("--profile", default="", metavar="DIR",
+                      help="capture a jax.profiler trace of the run into "
+                           "DIR (with -gs: first grid point only)")
     # hyper-param grid search (`test.py:92-105`)
     args.add_argument("-gs", "--grid-search", action="store_true",
                       help="grid search lm_panelty and len_bonus")
@@ -134,13 +137,25 @@ def run(args):
     return run_single(args)
 
 
+def run_profiled(args):
+    """Wrap one run in a jax.profiler trace when --profile is set."""
+    if not getattr(args, "profile", ""):
+        return run(args)
+    from ..utils.profiling import profile_trace
+    with profile_trace(args.profile):
+        result = run(args)
+    print(f"profiler trace -> {args.profile}")
+    return result
+
+
 def main():
     args = build_argparser().parse_args()
     if not args.grid_search:
-        run(args)
+        run_profiled(args)
         return
     # Grid search over (alpha=lm_panelty, beta=len_bonus), `test.py:349-382`.
     best = (None, None, float("inf"))
+    first = True
     for alpha in np.linspace(args.alpha_lower, args.alpha_upper,
                              args.alpha_count):
         for beta in np.linspace(args.beta_lower, args.beta_upper,
@@ -148,7 +163,8 @@ def main():
             args.lm_panelty = float(alpha)
             args.len_bonus = float(beta)
             print(f"grid search: lm_panelty={alpha:.3f} len_bonus={beta:.3f}")
-            cer = run(args)
+            cer = run_profiled(args) if first else run(args)
+            first = False
             if cer is not None and cer < best[2]:
                 best = (alpha, beta, cer)
     print(f"best: lm_panelty={best[0]} len_bonus={best[1]} CER={best[2]}")

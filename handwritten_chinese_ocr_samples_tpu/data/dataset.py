@@ -36,10 +36,22 @@ def load_and_resize_image(path: str, img_h: int) -> np.ndarray:
     happens after the float multiply).
     Returns uint8 ``(img_h, new_width)``.
     """
-    with open(path, "rb") as f:
-        img = np.array(Image.open(f))
-    if img.ndim == 3:
-        img = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+    # cv2 decodes PNG ~9x faster than PIL on this host (0.37 vs 3.4 ms for a
+    # 128x1100 gray line) and the training loader is host-CPU-bound; pixels
+    # are identical for the 8-bit inputs of the dataset contract (gray PNG is
+    # read verbatim; for color, PIL(RGB)+RGB2GRAY == cv2(BGR)+BGR2GRAY).
+    # Anything unusual (16-bit, palette+alpha, decode failure) falls back to
+    # the original PIL path so legacy behavior is bit-preserved.
+    img = (cv2.imread(path, cv2.IMREAD_UNCHANGED)
+           if cv2 is not None else None)
+    if img is None or img.dtype != np.uint8 or img.ndim not in (2, 3) or (
+            img.ndim == 3 and img.shape[2] != 3):
+        with open(path, "rb") as f:
+            img = np.array(Image.open(f))
+        if img.ndim == 3:
+            img = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+    elif img.ndim == 3:
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
     height, width = img.shape[:2]
     ratio = img_h / height
     new_width = int(width * ratio)

@@ -292,6 +292,14 @@ class HCTRModel(nn.Module):
     stage_drop: Sequence[float] = (0.3, 0.3, 0.3, 0.9)
     block_drop: float = 0.1
     remat: bool = False
+    # Tensor-parallel head enablement: pad the classifier width up to a
+    # multiple so the (2048, n) kernel divides over the mesh ``model`` axis
+    # (`train.step.param_shardings` is divisibility-gated and 7375 is odd —
+    # VERDICT r3). The tail columns are dead weight: logits are sliced back
+    # to ``num_classes`` at the output boundary, so the external contract
+    # (and CTC/decoder class space) is unchanged; the pad columns receive
+    # zero gradient. Default 1 = exact head, checkpoint-compatible.
+    head_pad_multiple: int = 1
 
     # Model-intrinsic config, mirroring the attribute-registry pattern of the
     # reference (`handwritten_ctr_model.py:159-162`, consumed at
@@ -317,12 +325,17 @@ class HCTRModel(nn.Module):
         # the reference's (C, H) order (`handwritten_ctr_model.py:173`).
         B, H, W, C = feats.shape
         feats = feats.transpose(0, 2, 1, 3).reshape(B, W, H * C)
-        logits = nn.Dense(self.num_classes, dtype=self.dtype,
-                          name="linear")(feats)
+        m = max(int(self.head_pad_multiple), 1)
+        padded = -(-self.num_classes // m) * m
+        logits = nn.Dense(padded, dtype=self.dtype, name="linear")(feats)
+        if padded != self.num_classes:
+            logits = logits[..., : self.num_classes]
         return logits.astype(jnp.float32)
 
 
 def hctr_model(num_classes: int = 7375, dtype: Dtype = jnp.float32,
-               remat: bool = False) -> HCTRModel:
+               remat: bool = False,
+               head_pad_multiple: int = 1) -> HCTRModel:
     """Factory mirroring `handwritten_ctr_model.py:156`."""
-    return HCTRModel(num_classes=num_classes, dtype=dtype, remat=remat)
+    return HCTRModel(num_classes=num_classes, dtype=dtype, remat=remat,
+                     head_pad_multiple=head_pad_multiple)

@@ -57,6 +57,10 @@ class TrainerConfig:
     out_dir: str = "."
     max_label_len: int = 160
     dtype: str = "bfloat16"
+    # jax.profiler trace capture (utils.profiling.profile_trace): steps
+    # [10, 30) of the first trained epoch — past compile/warmup, bounded
+    # so the trace stays viewable. Empty = off.
+    profile_dir: str = ""
 
 
 class Trainer:
@@ -214,8 +218,24 @@ class Trainer:
         losses = AverageMeter("loss", ":.4f")
         dropout_rng = jax.random.fold_in(self.dropout_rng, epoch)
 
+        import contextlib
+        trace = contextlib.ExitStack()
+        do_profile = bool(cfg.profile_dir) and epoch == self.start_epoch
+        tracing = False
+
         end = time.time()
         for i, dev_batch in enumerate(self._device_iter(loader)):
+            if do_profile:
+                if i == 10:          # past compile + pipeline warmup
+                    from ..utils.profiling import profile_trace
+                    trace.enter_context(profile_trace(cfg.profile_dir))
+                    tracing = True
+                elif i == 30 and tracing:
+                    jax.block_until_ready(self.state.params)
+                    trace.close()
+                    tracing = False
+                    print(f"profiler trace (steps 10-30) -> "
+                          f"{cfg.profile_dir}")
             data_time.update(time.time() - end)
             n_items = int(dev_batch["images"].shape[0])
             self.state, metrics = self.train_step(
@@ -237,6 +257,10 @@ class Trainer:
                                 is_best=is_best, acc=acc, is_val=True)
             batch_time.update(time.time() - end)
             end = time.time()
+        if tracing:                            # epoch shorter than 30 steps
+            jax.block_until_ready(self.state.params)
+            trace.close()
+            print(f"profiler trace -> {cfg.profile_dir}")
 
     # ---------------------------------------------------------------- eval
     def evaluate(self, phase: str = "test") -> float:
