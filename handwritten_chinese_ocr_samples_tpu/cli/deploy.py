@@ -76,6 +76,9 @@ def build_argparser():
     args.add_argument("--fused-commit", dest="fused_commit",
                       action="store_true")
     args.add_argument("--lm-f32", dest="lm_f32", action="store_true")
+    args.add_argument("--lm-int8", dest="lm_int8", action="store_true",
+                      help="int8-quantize the fused LM's FF and logits "
+                           "matmuls")
     args.add_argument("--int8", dest="int8", action="store_true",
                       help="post-training int8 quantization of the "
                            "recognizer convs (calibrated on the first "
@@ -124,6 +127,7 @@ def main():
         seg_budget=args.seg_budget, run_max=args.run_max,
         ctx_ladder=args.ctx_ladder, fused_commit=args.fused_commit,
         lm_f32=args.lm_f32,
+        lm_int8=args.lm_int8,
         int8=args.int8)
 
     if args.daemon and args.stdin_stream:

@@ -93,6 +93,10 @@ def build_argparser():
                            "per segment instead of two; exact)")
     args.add_argument("--lm-f32", dest="lm_f32", action="store_true",
                       help="run the fused LM in float32 (default bfloat16)")
+    args.add_argument("--lm-int8", dest="lm_int8", action="store_true",
+                      help="int8-quantize the fused LM's FF and logits "
+                           "matmuls (per-channel weight scales, dynamic "
+                           "activation scale; attention/KV stay bf16)")
     args.add_argument("-dp", "--data-parallel", dest="data_parallel",
                       type=int, metavar="N", default=0,
                       help="shard eval batches over N devices (data-"

@@ -179,7 +179,8 @@ class EvalSession:
             # `--lm-f32` opts out (parity debugging)
             lm_dtype = (jnp.float32 if getattr(args, "lm_f32", False)
                         else jnp.bfloat16)
-            clm = CachedLM(lm.lm_model, lm.lm_params, dtype=lm_dtype)
+            clm = CachedLM(lm.lm_model, lm.lm_params, dtype=lm_dtype,
+                           quant_int8=getattr(args, "lm_int8", False))
             c2l, l2c = make_id_tables(self.codec, lm.tokenizer)
             skip = bool(args.skip_search)
             if not skip:

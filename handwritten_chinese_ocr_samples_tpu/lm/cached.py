@@ -42,7 +42,7 @@ class CachedLM:
     precision-critical spots — LayerNorm statistics, attention score
     accumulation/softmax, final logits — always run in f32)."""
 
-    def __init__(self, model, params, dtype=None):
+    def __init__(self, model, params, dtype=None, quant_int8: bool = False):
         self.model = model
         self.n_layers = model.n_layers
         self.n_heads = model.n_heads
@@ -56,6 +56,32 @@ class CachedLM:
             lambda a: jnp.asarray(a, self.dtype)
             if a.dtype == jnp.float32 else jnp.asarray(a), params)
         self.p = params
+        # int8 decode path (VERDICT r3 #2 — the recognizer convs got int8,
+        # the decode-path LM did not): the weight-heavy matmuls (FF1/FF2
+        # per layer + the tied-embedding logits projection, ~80% of the
+        # LM's weight bytes) run s8 x s8 -> s32 on the MXU with symmetric
+        # per-out-channel weight scales (static, from the checkpoint) and
+        # a per-tensor dynamic activation scale (absmax of the live x —
+        # no calibration pass needed; x is tiny at beam shapes so the
+        # reduction is free). Same scheme as `serve/quant.py` convs.
+        # Attention q*k / w*v and all LayerNorms stay bf16/f32 — the KV
+        # cache and score softmax are precision-critical for decode ties.
+        self.quant_int8 = bool(quant_int8)
+        self._wq = {}
+        if self.quant_int8:
+            def _quantize(name, w, axes):
+                """w -> (int8 weights, per-out-channel f32 scales);
+                ``axes`` are the contraction axes of w."""
+                w32 = jnp.asarray(w, jnp.float32)
+                s = jnp.maximum(jnp.max(jnp.abs(w32), axis=axes,
+                                        keepdims=True), 1e-8) / 127.0
+                wq = jnp.clip(jnp.round(w32 / s), -127, 127).astype(jnp.int8)
+                self._wq[name] = (wq, s.astype(jnp.float32))
+            for li in range(self.n_layers):
+                lp = params[f"layer{li}"]
+                _quantize(f"ff1_{li}", lp["ff1"]["kernel"], (0,))
+                _quantize(f"ff2_{li}", lp["ff2"]["kernel"], (0,))
+            _quantize("logits", params["embed"]["embedding"], (1,))
         # fused QKV kernels: the decode peeks are dispatch-overhead-bound
         # at beam shapes (NOTES.md per-step profile), so the three
         # (d -> H, Dh) projections run as ONE einsum over a stacked
@@ -169,8 +195,38 @@ class CachedLM:
             self.d_model ** 0.5, self.dtype)
         return x + self.p["pos_embed"][pos].astype(self.dtype)
 
+    def _q_mm(self, x, name, eq):
+        """int8 matmul: dynamic per-tensor x scale, static per-channel w
+        scales. Returns f32 with dequantization fused into the epilogue."""
+        wq, s = self._wq[name]
+        x32 = x.astype(jnp.float32)
+        s_x = jnp.maximum(jnp.max(jnp.abs(x32)), 1e-8) / 127.0
+        xq = jnp.clip(jnp.round(x32 / s_x), -127, 127).astype(jnp.int8)
+        y = jnp.einsum(eq, xq, wq, preferred_element_type=jnp.int32)
+        return y.astype(jnp.float32) * s_x
+
+    def _ff(self, h, li):
+        """FF1 -> ReLU -> FF2 (the float path is bit-identical to the
+        previous inline form; the int8 path dequantizes per stage)."""
+        lp = self.p[f"layer{li}"]
+        if self.quant_int8:
+            y = (self._q_mm(h, f"ff1_{li}", "...d,df->...f")
+                 * self._wq[f"ff1_{li}"][1][0]
+                 + lp["ff1"]["bias"].astype(jnp.float32))
+            y = jax.nn.relu(y).astype(self.dtype)
+            y = (self._q_mm(y, f"ff2_{li}", "...d,df->...f")
+                 * self._wq[f"ff2_{li}"][1][0]
+                 + lp["ff2"]["bias"].astype(jnp.float32))
+            return y.astype(self.dtype)
+        h = h @ lp["ff1"]["kernel"] + lp["ff1"]["bias"]
+        h = jax.nn.relu(h)
+        return h @ lp["ff2"]["kernel"] + lp["ff2"]["bias"]
+
     def _logits(self, x):
         x = self._ln(x, self.p["ln_f"])
+        if self.quant_int8:
+            wq, s = self._wq["logits"]                     # s (V, 1)
+            return self._q_mm(x, "logits", "...d,vd->...v") * s[:, 0]
         return jnp.einsum("...d,vd->...v", x, self.p["embed"]["embedding"],
                           preferred_element_type=jnp.float32)
 
@@ -193,10 +249,7 @@ class CachedLM:
         x = x + self._attn_out(o, lp["attn"]["out"])
 
         h = self._ln(x, lp["ln2"])
-        h = h @ lp["ff1"]["kernel"] + lp["ff1"]["bias"]
-        h = jax.nn.relu(h)
-        h = h @ lp["ff2"]["kernel"] + lp["ff2"]["bias"]
-        return x + h
+        return x + self._ff(h, li)
 
     def _kv(self, li, x):
         lp = self.p[f"layer{li}"]
@@ -250,10 +303,7 @@ class CachedLM:
             o = jnp.einsum("bhl,blhk->bhk", w, v_li)
             x = x + self._attn_out(o, lp["attn"]["out"])
             h2 = self._ln(x, lp["ln2"])
-            h2 = h2 @ lp["ff1"]["kernel"] + lp["ff1"]["bias"]
-            h2 = jax.nn.relu(h2)
-            h2 = h2 @ lp["ff2"]["kernel"] + lp["ff2"]["bias"]
-            x = x + h2
+            x = x + self._ff(h2, li)
 
         logits = self._logits(x)
         new_lengths = jnp.where(write_mask, cache.lengths + 1, cache.lengths)

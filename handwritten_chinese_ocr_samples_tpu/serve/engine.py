@@ -97,6 +97,7 @@ class ServingEngine:
                  ctx_ladder: int = 112,
                  fused_commit: bool = False,
                  lm_f32: bool = False,
+                 lm_int8: bool = False,
                  int8: bool = False):
         import jax
         import jax.numpy as jnp
@@ -151,7 +152,8 @@ class ServingEngine:
             from ..lm.cached import CachedLM
             from ..ops.topk_logsoftmax import topk_logsoftmax
             clm = CachedLM(lm.lm_model, lm.lm_params,
-                           dtype=jnp.float32 if lm_f32 else jnp.bfloat16)
+                           dtype=jnp.float32 if lm_f32 else jnp.bfloat16,
+                           quant_int8=lm_int8)
             c2l, l2c = make_id_tables(codec, lm.tokenizer)
             self._skip = bool(skip_search)
             self._lm_beam = AdaptiveLMBeam(

@@ -375,3 +375,23 @@ def test_decode_async_escalates_on_overflow(setup, monkeypatch):  # noqa: F811
     assert beam._ctx > 8
     texts = codec.compact_to_texts(prefixes, lengths)
     assert all(len(t) == 12 for t in texts)
+
+
+def test_adaptive_int8_lm_decode_agrees(setup):  # noqa: F811
+    """--lm-int8: the fused decode with a quantized LM agrees with the float
+    LM on confidently-peaked posteriors (quant noise ~0.1 logp is far below
+    the peaks' margins; genuine near-ties may flip, so the gate is
+    most-lines-identical, mirroring the ab_lm_beam product gate)."""
+    from handwritten_chinese_ocr_samples_tpu.lm.cached import CachedLM
+
+    codec, clm, scorer, c2l, l2c = setup
+    clm_q = CachedLM(clm.model, clm.p, quant_int8=True)
+    args = _prep(_peaky_preds(T=16, B=8, seed=11).astype(np.float32))
+    kw = dict(beam_size=4, depth=6, unknown_id=codec.unknown_id,
+              lm_panelty=0.7, len_bonus=1.5, skip_search=True)
+    want = codec.compact_to_texts(
+        *AdaptiveLMBeam(clm, c2l, l2c, **kw).decode(*args))
+    got = codec.compact_to_texts(
+        *AdaptiveLMBeam(clm_q, c2l, l2c, **kw).decode(*args))
+    same = sum(g == w for g, w in zip(got, want))
+    assert same >= 6, (got, want)

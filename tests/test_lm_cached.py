@@ -122,3 +122,53 @@ def test_bf16_step_close_to_f32(lm):
                                    atol=0.15, rtol=0.05)
         np.testing.assert_array_equal(
             np.argmax(np.asarray(lo16), -1), np.argmax(np.asarray(lo32), -1))
+
+
+def test_int8_quant_close_to_float(lm):
+    """quant_int8=True: step logits track the float path closely (per-channel
+    weight scales + dynamic activation scale keep the quant noise small) and
+    the next-token ARGMAX agrees — the property LM-fused decode relies on."""
+    model, params = lm
+    fp = CachedLM(model, params)
+    q8 = CachedLM(model, params, quant_int8=True)
+    rng = np.random.default_rng(2)
+    B, L = 4, 9
+    tokens = jnp.asarray(rng.integers(0, V, (B, L)).astype(np.int32))
+
+    cache_f = fp.init_cache(B, 16)
+    cache_q = q8.init_cache(B, 16)
+    agree, total = 0, 0
+    for t in range(L):
+        lf, cache_f = fp.step(cache_f, tokens[:, t])
+        lq, cache_q = q8.step(cache_q, tokens[:, t])
+        pf = jax.nn.log_softmax(lf, axis=-1)
+        pq = jax.nn.log_softmax(lq, axis=-1)
+        # log-prob error well under typical LM score margins
+        assert float(jnp.max(jnp.abs(pf - pq))) < 0.15
+        agree += int((jnp.argmax(lf, -1) == jnp.argmax(lq, -1)).sum())
+        total += B
+    assert agree / total >= 0.9
+
+
+def test_int8_quant_peek(lm):
+    """Quantized peek stays within LM-score tolerance of the float peek."""
+    model, params = lm
+    fp = CachedLM(model, params)
+    q8 = CachedLM(model, params, quant_int8=True)
+    rng = np.random.default_rng(3)
+    B, Lp, S = 2, 5, 4
+    prefix = jnp.asarray(rng.integers(0, V, (B, Lp)).astype(np.int32))
+    suffix = jnp.asarray(rng.integers(0, V, (B, S)).astype(np.int32))
+    suffix_len = jnp.asarray([S, 3], jnp.int32)
+
+    def run(c):
+        cache = c.init_cache(B, 16)
+        logits = None
+        for t in range(Lp):
+            logits, cache = c.step(cache, prefix[:, t])
+        next_logp = jax.nn.log_softmax(logits, axis=-1)
+        return c.peek_logprobs(cache, next_logp, suffix, suffix_len)
+
+    got_f = np.asarray(run(fp))
+    got_q = np.asarray(run(q8))
+    np.testing.assert_allclose(got_q, got_f, atol=0.5)

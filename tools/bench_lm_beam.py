@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--width", type=int, default=1200)
     ap.add_argument("--group", type=int, default=8)
     ap.add_argument("--budget", type=int, default=192)
+    ap.add_argument("--lm-int8", action="store_true",
+                    help="int8 FF/logits matmuls in the fused LM")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--lm-ctx", type=int, default=256)
@@ -80,7 +82,7 @@ def main():
         {"params": jax.random.key(0)},
         jnp.zeros((1, 8), jnp.int32), train=False)["params"]
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    clm = CachedLM(model, lm_params, dtype=dtype)
+    clm = CachedLM(model, lm_params, dtype=dtype, quant_int8=args.lm_int8)
     c2l, l2c = make_id_tables(codec, tokenizer)
 
     skip = not args.no_skip
