@@ -335,11 +335,26 @@ def run_benchmark(args) -> float:
     # in flight, per-batch finalize intervals overlap, so summing them
     # would double-count; pipeline throughput is the honest metric
 
+    full_lm_search = session.device_lm_beam and not args.skip_search
+
     def consume(entry):
         nonlocal dist_sum, len_sum, n_img
         i, finalize, labels = entry
         texts, _ = finalize()
         n_img += len(texts)
+        if i == 0 and full_lm_search and len(loader) > 1:
+            # Product stance (README "Full vs skip search"): the full
+            # search scans every frame while `-ss` scans ~segments, a
+            # measured ~25x gap at production shapes — escalate the
+            # startup note with this run's own projection so the cost
+            # is visible before the user waits it out.
+            per_batch = time.time() - t_first
+            proj = per_batch * len(loader)
+            print(f"note: full search measured {per_batch:.1f} s/batch on "
+                  f"this run — projected {proj / 60:.1f} min for all "
+                  f"{len(loader)} batches. `-ss` (skip search, the "
+                  f"reference's fast path) is ~25x faster and CER-equal "
+                  f"on peaky posteriors; consider rerunning with -ss.")
         d, t = cer_counts(texts, labels)
         dist_sum += d
         len_sum += t
