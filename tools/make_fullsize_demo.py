@@ -252,15 +252,9 @@ def train_lm(seed: int = 7, n_lines: int = 40000, epochs: int = 4):
 def lm_perplexity(lm_dir: str, lines) -> float:
     import jax.numpy as jnp
     from handwritten_chinese_ocr_samples_tpu.lm.infer import LMScorer
-    scorer = LMScorer(lm_dir, dtype=jnp.bfloat16)
-    total_lp, total_toks = 0.0, 0
-    bs = 64
-    for i in range(0, len(lines), bs):
-        chunk = lines[i: i + bs]
-        lp = scorer.score(chunk)
-        total_lp += float(np.sum(lp))
-        total_toks += sum(len(s) + 1 for s in chunk)   # chars + </s>
-    return float(np.exp(-total_lp / total_toks))
+    from handwritten_chinese_ocr_samples_tpu.lm.io import load_lm
+    model, variables, tok = load_lm(lm_dir, dtype=jnp.bfloat16)
+    return LMScorer(model, variables, tok).perplexity(lines)
 
 
 def eval_cer(data, extra=(), batch=25):
