@@ -140,13 +140,23 @@ class _Dropout(nn.Module):
         return dropout_recompute(x, self.make_rng("dropout"), self.rate)
 
 
-def _maxpool_h2(x: jnp.ndarray) -> jnp.ndarray:
+def _maxpool_h2(x: jnp.ndarray, impl: str = "window") -> jnp.ndarray:
     """Max-pool kernel (2,1) stride (2,1) on NHWC: halve height, keep width.
 
-    Keep the reduce_window form: a reshape+max-over-window-axis variant
-    measured ~4% SLOWER end-to-end on v5e (the reshapes break fusion;
-    XLA already lowers the non-overlapping window efficiently).
+    Two bit-identical lowerings (H is always even here; the window never
+    overlaps, so both reduce the same disjoint pairs):
+
+    * ``window`` (inference default): ``reduce_window`` — a reshape+max
+      variant measured ~4% SLOWER for the eval forward on v5e (the
+      reshapes break elementwise fusion around the pool).
+    * ``reshape``: ``max`` over a split height axis. Its BACKWARD is an
+      elementwise select + pad-interleave instead of ``reduce_window``'s
+      SelectAndScatter, which XLA:TPU lowers poorly at these shapes
+      (train-step attribution, NOTES round 4).
     """
+    if impl == "reshape":
+        B, H, W, C = x.shape
+        return x.reshape(B, H // 2, 2, W, C).max(axis=2)
     return nn.max_pool(x, window_shape=(2, 1), strides=(2, 1))
 
 
@@ -222,6 +232,7 @@ class SEResNetBackbone(nn.Module):
     stage_drop: Sequence[float] = (0.3, 0.3, 0.3, 0.9)
     block_drop: float = 0.1
     remat: bool = False
+    pool_impl: str = "window"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool,
@@ -247,7 +258,7 @@ class SEResNetBackbone(nn.Module):
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn0_2")(x)
         x = nn.relu(x)
-        x = _maxpool_h2(x)
+        x = _maxpool_h2(x, self.pool_impl)
 
         in_planes = widths[0]
         for stage in range(4):
@@ -269,7 +280,7 @@ class SEResNetBackbone(nn.Module):
                              epsilon=1e-5, dtype=self.dtype,
                              name=f"bn{stage + 1}")(x)
             x = nn.relu(x)
-            x = _maxpool_h2(x)
+            x = _maxpool_h2(x, self.pool_impl)
             x = _Dropout(self.stage_drop[stage])(x, deterministic=not train)
         return x
 
@@ -292,6 +303,7 @@ class HCTRModel(nn.Module):
     stage_drop: Sequence[float] = (0.3, 0.3, 0.3, 0.9)
     block_drop: float = 0.1
     remat: bool = False
+    pool_impl: str = "window"
     # Tensor-parallel head enablement: pad the classifier width up to a
     # multiple so the (2048, n) kernel divides over the mesh ``model`` axis
     # (`train.step.param_shardings` is divisibility-gated and 7375 is odd —
@@ -316,6 +328,7 @@ class HCTRModel(nn.Module):
         feats = SEResNetBackbone(out_channels=self.backbone_channels,
                                  num_blocks=tuple(self.num_blocks),
                                  dtype=self.dtype, remat=self.remat,
+                                 pool_impl=self.pool_impl,
                                  stage_drop=tuple(self.stage_drop),
                                  block_drop=self.block_drop,
                                  name="cnn")(x, train=train,

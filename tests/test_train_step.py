@@ -98,3 +98,34 @@ def test_multichip_sharded_train_step():
     with mesh:
         state, metrics = step(state, batch, jax.random.key(1))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_pool_impls_bit_identical():
+    """`pool_impl="reshape"` must be a pure lowering change: identical
+    forward logits AND identical gradients vs the reduce_window default
+    (H is even at every pool site, windows never overlap)."""
+    model_w = tiny_model()
+    model_r = HCTRModel(num_classes=12, backbone_channels=64,
+                        num_blocks=(1, 1, 1, 1), pool_impl="reshape")
+    state = create_train_state(model_w, jax.random.key(0),
+                               input_shape=(2, 128, 32, 1), lr=0.01)
+    batch = _batch()
+
+    def fwd(model):
+        return model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["images"], train=False)
+
+    np.testing.assert_array_equal(np.asarray(fwd(model_w)),
+                                  np.asarray(fwd(model_r)))
+
+    def loss(model, params):
+        logits = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            batch["images"], train=False)
+        return jnp.sum(jnp.tanh(logits))
+
+    g_w = jax.grad(lambda p: loss(model_w, p))(state.params)
+    g_r = jax.grad(lambda p: loss(model_r, p))(state.params)
+    for a, b in zip(jax.tree.leaves(g_w), jax.tree.leaves(g_r)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

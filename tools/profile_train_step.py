@@ -102,6 +102,19 @@ def main():
         results["step/bf16+rbg-drop"] = timed(
             lambda s: step2(s, batch, key_rbg)[0], state)
 
+    # reshape-lowered (2,1) max-pool: bit-identical forward, but the
+    # backward is select+interleave instead of SelectAndScatter
+    if want("pool-reshape"):
+        from handwritten_chinese_ocr_samples_tpu.models.hctr import \
+            HCTRModel
+        model_p = HCTRModel(num_classes=D, dtype=jnp.bfloat16,
+                            pool_impl="reshape")
+        state_p = create_train_state(model_p, jax.random.key(0),
+                                     input_shape=(B, 128, 256, 1))
+        step_p = make_train_step(donate=True)
+        results["step/bf16 pool-reshape"] = timed(
+            lambda s: step_p(s, batch, key)[0], state_p)
+
     # dropout rates zeroed (train=True: BN still in training mode) —
     # isolates the mask-generation + mask-multiply cost
     if want("drop-rates"):
