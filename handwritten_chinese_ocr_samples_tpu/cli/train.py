@@ -70,6 +70,11 @@ def build_argparser():
     args.add_argument("--remat", action="store_true",
                       help="rematerialize residual blocks in the backward "
                            "pass (2x max batch at ~2%% step cost)")
+    args.add_argument("--optimizer", default="model",
+                      choices=["model", "sgd", "adam"],
+                      help="override the model-attribute optimizer choice "
+                           "(`main.py:209-218` dispatches on "
+                           "model.optimizer; 'model' keeps that)")
     args.add_argument("--profile", default="", metavar="DIR",
                       help="capture a jax.profiler trace of train steps "
                            "10-30 of the first epoch into DIR (view with "
@@ -109,7 +114,8 @@ def main():
         resume=args.resume, test_only=args.test,
         test_verbose=args.testverbose, max_width=args.max_width,
         bucket_step=args.bucket_step, use_width_mask=args.width_mask,
-        out_dir=args.out_dir, profile_dir=args.profile)
+        out_dir=args.out_dir, profile_dir=args.profile,
+        optimizer="" if args.optimizer == "model" else args.optimizer)
     Trainer(cfg, model, characters).fit()
 
 

@@ -57,6 +57,10 @@ class TrainerConfig:
     out_dir: str = "."
     max_label_len: int = 160
     dtype: str = "bfloat16"
+    # Optimizer override. Empty = the model attribute decides (reference
+    # pattern: `handwritten_ctr_model.py:161` optimizer='SGD',
+    # `innovation.py:235` optimizer='Adam', dispatched at `main.py:209-218`).
+    optimizer: str = ""
     # jax.profiler trace capture (utils.profiling.profile_trace): steps
     # [10, 30) of the first trained epoch — past compile/warmup, bounded
     # so the trace stays viewable. Empty = off.
@@ -93,10 +97,15 @@ class Trainer:
         # threefry on TPU (init keys stay threefry for reproducibility).
         self.dropout_rng = jax.random.key(seed + 1, impl="rbg")
         init_w = model.img_height if is_classify else 256
+        from .step import make_optimizer
+        tx_kind = {"sgd": "SGD", "adam": "Adam"}.get(
+            cfg.optimizer.lower(), cfg.optimizer) or getattr(
+            model, "optimizer", "SGD")
         self.state = create_train_state(
             model, self.rng,
             input_shape=(cfg.batch_size, model.img_height, init_w, 1),
-            lr=cfg.lr, momentum=cfg.momentum, weight_decay=cfg.weight_decay)
+            tx=make_optimizer(tx_kind, lr=cfg.lr, momentum=cfg.momentum,
+                              weight_decay=cfg.weight_decay))
         if n_dev > 1:
             self.state = shard_train_state(self.state, self.mesh)
 

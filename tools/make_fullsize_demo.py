@@ -188,13 +188,17 @@ def run(cmd, **kw):
                           **kw)
 
 
-def train_recognizer(data, epochs, lr, batch=16, resume=""):
+def train_recognizer(data, epochs, lr, batch=16, resume="", optimizer="adam"):
     out = os.path.join(FULL, "train_out")
+    # Adam (the reference's own alternative optimizer path, `main.py:215` /
+    # `innovation.py:235`): SGD at any tested lr left the 7375-class CTC
+    # stuck at the uniform plateau (~8.7 = ln 7375) for 20+ epochs on this
+    # corpus; Adam escapes it within a few epochs.
     cmd = [sys.executable, "main.py", "-m", "hctr", "-d", data,
            "-b", batch, "-lr", lr, "-ep", epochs, "--lr-decay-epochs",
            max(1, int(epochs) * 2 // 3), "-j", "2", "--seed", "42",
            "--max-width", "1200", "--bucket-step", "128", "-pf", "50",
-           "--out-dir", out]
+           "--optimizer", optimizer, "--out-dir", out]
     if resume:
         cmd += ["-re", resume]
     run(cmd)
@@ -315,7 +319,9 @@ def write_results(greedy_cer, beam_cer, alpha, beta, tune_cer, ppl, epochs,
                 f"lm_panelty={alpha} len_bonus={beta} "
                 f"(tune CER {tune_cer:.4f})\n")
         f.write(f"- recognizer: hctr (38M params, 7375 classes), main.py, "
-                f"{epochs} epochs, lr {lr}, batch 16, seed 42, "
+                f"{epochs} epochs, Adam lr {lr} (`--optimizer adam` — the "
+                f"reference's `main.py:215` path; SGD stalls on the "
+                f"uniform CTC plateau here), batch 16, seed 42, "
                 f"max_width 1200\n")
         f.write(f"- LM: first-party char transformer 512d/6L at the full "
                 f"7373-char vocab (lm/train.py), held-out PPL "
@@ -331,8 +337,10 @@ def main():
     ap.add_argument("--step", default="all",
                     choices=["data", "train", "lm", "strip", "grid",
                              "eval", "all"])
-    ap.add_argument("--epochs", type=int, default=80)
-    ap.add_argument("--lr", type=float, default=0.01)
+    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--lr", type=float, default=0.001)
+    ap.add_argument("--optimizer", default="adam",
+                    choices=["model", "sgd", "adam"])
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--resume", default="")
     ap.add_argument("--skip-grid", action="store_true",
@@ -347,7 +355,7 @@ def main():
         make_datasets()
     if step in ("train", "all"):
         train_recognizer(data, args.epochs, args.lr, args.batch,
-                         args.resume)
+                         args.resume, args.optimizer)
     ppl = float("nan")
     if step in ("lm", "all"):
         _, ppl = train_lm()
