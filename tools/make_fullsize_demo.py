@@ -212,7 +212,21 @@ def strip_checkpoint():
     import orbax.checkpoint as ocp
     from handwritten_chinese_ocr_samples_tpu.utils.ckpt_io import (
         restore_pytree_host)
-    src = os.path.join(FULL, "train_out", "hctr_checkpoint")
+    out = os.path.join(FULL, "train_out")
+    # Prefer the highest-acc best-copy (the reference evaluates its
+    # `model_best.pth.tar`, `main.py:300` — not the last epoch's state);
+    # fall back to the rolling `hctr_checkpoint` if no copy finalized.
+    best = sorted(
+        (d for d in os.listdir(out)
+         if re.fullmatch(r"hctr_\d+ep_[\d.]+acc_checkpoint", d)),
+        key=lambda d: float(d.split("_")[2][:-3]))
+    if best:
+        src = os.path.join(out, best[-1])
+        print(f"stripping best copy {best[-1]}")
+    else:
+        src = os.path.join(out, "hctr_checkpoint")
+        if not os.path.isdir(src):
+            raise SystemExit(f"no finalized checkpoint under {out}")
     payload = restore_pytree_host(os.path.abspath(src))
     params = jax.tree.map(
         lambda a: (np.asarray(a, jnp.bfloat16)
