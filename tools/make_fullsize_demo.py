@@ -252,17 +252,31 @@ def train_lm(seed: int = 7, n_lines: int = 40000, epochs: int = 4):
     from handwritten_chinese_ocr_samples_tpu.lm.train import train_char_lm
     rng = np.random.default_rng(seed)
     corpus = [sample_line(rng, 42) for _ in range(n_lines)]
+    # max_len 160 (not 64): training cost is identical (batch seq rounds
+    # to the longest line, 64) but decode's auto-ctx can then pick the
+    # platform-proven STABLE_CTX=144 cache shape with the rung-112 ladder
+    # (a 64-deep cache would leave the default ladder rung deeper than
+    # the cache and only ~14 tokens of slack over a 50-char line).
     model, params, tok = train_char_lm(
-        corpus, "".join(VOCAB), epochs=epochs, batch_size=64, max_len=64,
+        corpus, "".join(VOCAB), epochs=epochs, batch_size=64, max_len=160,
         d_model=512, n_layers=6, warmup_steps=300, log_every=100)
     lm_dir = os.path.join(FULL, "lm")
     if os.path.isdir(lm_dir):
         shutil.rmtree(lm_dir)
+    # bf16 artifact (the decode path computes in bf16; halves the commit)
+    import jax
+    import jax.numpy as jnp
+    params = jax.tree.map(
+        lambda a: (np.asarray(a, jnp.bfloat16)
+                   if np.asarray(a).dtype == np.float32 else np.asarray(a)),
+        params)
     save_lm(lm_dir, model, params, tok)
     # held-out perplexity (the fairseq recipe's acceptance metric,
     # `third-party/README.md:95`: PPL ~29 on hwdb2x pages)
     held = [sample_line(rng, 42) for _ in range(512)]
     ppl = lm_perplexity(lm_dir, held)
+    with open(os.path.join(lm_dir, "PPL.txt"), "w") as f:
+        f.write(f"{ppl:.4f}\n")
     print(f"full-vocab LM -> {lm_dir}  held-out PPL {ppl:.2f}")
     return lm_dir, ppl
 
@@ -373,6 +387,11 @@ def main():
     ppl = float("nan")
     if step in ("lm", "all"):
         _, ppl = train_lm()
+    if np.isnan(ppl):
+        ppl_file = os.path.join(FULL, "lm", "PPL.txt")
+        if os.path.exists(ppl_file):
+            with open(ppl_file) as f:
+                ppl = float(f.read().strip())
     if step in ("strip", "train", "all"):
         strip_checkpoint()
 
