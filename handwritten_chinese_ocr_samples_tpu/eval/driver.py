@@ -19,9 +19,10 @@ import numpy as np
 
 def load_recognizer_variables(model_file: str, state_template=None):
     """Checkpoint file/dir -> flax variables {params, batch_stats}."""
+    from ..utils.ckpt_io import normalize_serving_dtype
     if model_file.endswith((".pth.tar", ".pth", ".pt")):
         from ..compat.torch_convert import convert_checkpoint
-        return convert_checkpoint(model_file)
+        return normalize_serving_dtype(convert_checkpoint(model_file))
     # Host-array restore: a checkpoint saved under a different topology
     # (CPU-trained vs TPU-eval, or a training mesh) restores fine and the
     # eval jits are free to place the arrays (``torch.load(map_location=
@@ -29,8 +30,12 @@ def load_recognizer_variables(model_file: str, state_template=None):
     from ..utils.ckpt_io import restore_pytree_host
     payload = restore_pytree_host(os.path.abspath(model_file))
     if "params" in payload:
-        return {"params": payload["params"],
-                "batch_stats": payload.get("batch_stats", {})}
+        # Dtype contract (utils.ckpt_io.normalize_serving_dtype): artifacts
+        # may store bf16 for transport, but serving always loads f32 —
+        # bf16-stored leaves compile a ~7.7x slower forward (VERDICT r4 #1).
+        return normalize_serving_dtype(
+            {"params": payload["params"],
+             "batch_stats": payload.get("batch_stats", {})})
     raise ValueError(f"unrecognized checkpoint layout at {model_file}")
 
 
@@ -43,12 +48,14 @@ def build_beam_decoder(codec, args):
     lm = build_lm_backend(
         tfm_path=args.tfm_path, kenlm_path=args.kenlm_path,
         use_tfm=args.use_tfm_pred or args.use_tfm_score)
+    import math
     cfg = BeamSearchConfig(
         beam_size=args.beam_size, search_depth=args.search_depth,
         lm_panelty=args.lm_panelty, len_bonus=args.len_bonus,
         use_lm_pred=args.use_tfm_pred,
         use_lm_score=(args.use_tfm_score or bool(args.kenlm_path)),
-        skip_search=args.skip_search)
+        skip_search=args.skip_search,
+        prune_log_prob=math.log(getattr(args, "prune", 0.001)))
     return BeamSearchDecoder(codec, lm or NullLM(), cfg)
 
 
@@ -188,6 +195,8 @@ class EvalSession:
                       "~an order of magnitude slower than `-ss` "
                       "(skip-search, the reference's fast path) at equal "
                       "accuracy on peaky posteriors — consider adding -ss")
+            import math
+            prune_lp = math.log(getattr(args, "prune", 0.001))
             self._lm_adaptive = AdaptiveLMBeam(
                 clm, c2l, l2c, beam_size=beam_size, depth=depth,
                 unknown_id=unknown_id, lm_panelty=args.lm_panelty,
@@ -199,12 +208,14 @@ class EvalSession:
                 run_max=getattr(args, "run_max", 8),
                 ctx_ladder=getattr(args, "ctx_ladder", 112),
                 fused_commit=getattr(args, "fused_commit", False),
+                prune=prune_lp,
                 mesh=self._mesh, verbose=True)
 
             @jax.jit
             def prep_lm_beam(variables, x, quant=None):
                 logits = apply_fwd(variables, x, quant)
-                cv, ci, blank_lp, n_above = topk_logsoftmax(logits, k=depth)
+                cv, ci, blank_lp, n_above = topk_logsoftmax(
+                    logits, k=depth, prune=prune_lp)
                 logz = jax.scipy.special.logsumexp(
                     logits.astype(jnp.float32), axis=-1)
                 return cv, ci, logits, logz, blank_lp, n_above

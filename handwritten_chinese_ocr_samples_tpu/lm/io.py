@@ -59,6 +59,10 @@ def load_lm(lm_dir: str, dtype=jnp.float32
     model = CharTransformerLM(dtype=dtype, **cfg)
     # host-array restore — loadable regardless of the topology the bundle
     # was trained/saved under (see utils.ckpt_io)
-    from ..utils.ckpt_io import restore_pytree_host
+    from ..utils.ckpt_io import normalize_serving_dtype, restore_pytree_host
     payload = restore_pytree_host(weights)
-    return model, {"params": payload["params"]}, tokenizer
+    # Storage dtype never leaks into the compiled program: bf16 transport
+    # artifacts load as f32 and `dtype=` alone fixes the compute precision
+    # (same contract as the recognizer loader — see ckpt_io).
+    return model, normalize_serving_dtype({"params": payload["params"]}), \
+        tokenizer

@@ -30,3 +30,33 @@ def restore_pytree_host(path: str):
     restore_args = jax.tree_util.tree_map(
         lambda m: ocp.RestoreArgs(restore_type=np.ndarray), tree)
     return ckptr.restore(path, restore_args=restore_args)
+
+
+def normalize_serving_dtype(tree):
+    """Artifact-dtype contract for every serving/eval load path.
+
+    The reference fixes its serving numerics at export time — the OpenVINO
+    IR *is* the dtype contract (`deploy.py:90-106`). Here the equivalent
+    contract is enforced at load: every floating leaf is normalized to
+    float32 regardless of the dtype the artifact happens to store, and the
+    model's ``dtype=`` config alone decides the compute precision (flax
+    promotes f32 params to the compute dtype at use).
+
+    Why this matters (measured, round 5): bf16-STORED parameters feeding
+    the bf16-compute 38M forward run ~7.7x slower on the tunneled TPU
+    than the same weights stored as f32 and cast at trace time (scan-timed
+    b32/w1200: 63 vs 487 lines/sec) — the bf16 leaves defeat XLA's
+    layout/convolution selection. Storage dtype is a transport choice
+    (bf16 halves the commit size); it must never leak into the compiled
+    program, which is exactly what this function guarantees.
+    """
+    def _norm(a):
+        a = np.asarray(a)
+        if a.dtype == np.float32 or not (
+                np.issubdtype(a.dtype, np.floating)
+                or a.dtype.name == "bfloat16"):
+            return a
+        return a.astype(np.float32)
+
+    import jax
+    return jax.tree.map(_norm, tree)

@@ -159,6 +159,65 @@ def write_split(root: str, phase: str, n: int, rng, seed: int):
     print(f"{root}/{phase}: {n} lines", flush=True)
 
 
+def make_augmented_train(n_extra: int = 3600, aug_seed: int = 4242):
+    """``data_aug/``: the committed splits plus ``n_extra`` regenerable
+    extra train lines (VERDICT r4 #3 — the 60-epoch round-4 run plateaued
+    at val acc 0.8405 vs the ~0.90 Bayes ceiling with only ~14 examples
+    per class; more coverage of the 3686 pair codes is the lever).
+
+    The extra lines come from an INDEPENDENT pixel rng stream (aug_seed)
+    but the SAME text model (successors seed 42), so the committed
+    val/test/tune splits and the trained LM's corpus distribution are
+    untouched. Fully deterministic, so nothing new needs committing:
+    images hardlink/copy from ``data/`` and the extras regenerate
+    bit-identically on demand.
+    """
+    from PIL import Image
+    src = os.path.join(FULL, "data")
+    dst = os.path.join(FULL, "data_aug")
+    if os.path.isdir(dst):
+        shutil.rmtree(dst)
+    os.makedirs(os.path.join(dst, "train"))
+    shutil.copy(os.path.join(src, "chars_list.txt"), dst)
+    for phase in ("val", "test"):
+        os.makedirs(os.path.join(dst, phase))
+        for name in os.listdir(os.path.join(src, phase)):
+            _link_or_copy(os.path.join(src, phase, name),
+                          os.path.join(dst, phase, name))
+        shutil.copy(os.path.join(src, f"{phase}_img_id_gt.txt"), dst)
+    lines = []
+    with open(os.path.join(src, "train_img_id_gt.txt"),
+              encoding="utf-8") as f:
+        for ln in f:
+            if ln.strip():
+                lines.append(ln.strip())
+                name = ln.split(",", 1)[0]
+                _link_or_copy(os.path.join(src, "train", name),
+                              os.path.join(dst, "train", name))
+    rng = np.random.default_rng(aug_seed)
+    for i in range(n_extra):
+        text = sample_line(rng, 42)      # text-model seed matches the LM
+        name = f"train_a{i:05d}.png"
+        Image.fromarray(render_line(text, rng)).save(
+            os.path.join(dst, "train", name))
+        lines.append(f"{name},{text}")
+        if (i + 1) % 600 == 0:
+            print(f"augment: {i + 1}/{n_extra}", flush=True)
+    with open(os.path.join(dst, "train_img_id_gt.txt"), "w",
+              encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"{dst}: {len(lines)} train lines "
+          f"({n_extra} extra, aug_seed {aug_seed})", flush=True)
+    return dst
+
+
+def _link_or_copy(src: str, dst: str):
+    try:
+        os.link(src, dst)
+    except OSError:
+        shutil.copy(src, dst)
+
+
 def make_datasets(seed: int = 42, n_train=2400, n_val=100, n_test=150,
                   n_tune=100):
     """Deterministic: the SAME (seed, n) always regenerates identical data,
@@ -188,15 +247,18 @@ def run(cmd, **kw):
                           **kw)
 
 
-def train_recognizer(data, epochs, lr, batch=16, resume="", optimizer="adam"):
+def train_recognizer(data, epochs, lr, batch=16, resume="", optimizer="adam",
+                     lr_decay_epochs=None):
     out = os.path.join(FULL, "train_out")
     # Adam (the reference's own alternative optimizer path, `main.py:215` /
     # `innovation.py:235`): SGD at any tested lr left the 7375-class CTC
     # stuck at the uniform plateau (~8.7 = ln 7375) for 20+ epochs on this
     # corpus; Adam escapes it within a few epochs.
+    if lr_decay_epochs is None:
+        lr_decay_epochs = max(1, int(epochs) * 2 // 3)
     cmd = [sys.executable, "main.py", "-m", "hctr", "-d", data,
            "-b", batch, "-lr", lr, "-ep", epochs, "--lr-decay-epochs",
-           max(1, int(epochs) * 2 // 3), "-j", "2", "--seed", "42",
+           lr_decay_epochs, "-j", "2", "--seed", "42",
            "--max-width", "1200", "--bucket-step", "128", "-pf", "50",
            "--optimizer", optimizer, "--out-dir", out]
     if resume:
@@ -205,8 +267,11 @@ def train_recognizer(data, epochs, lr, batch=16, resume="", optimizer="adam"):
 
 
 def strip_checkpoint():
-    """Commit-size artifact: params (bf16 — the forward's compute dtype)
-    + batch_stats only; optimizer state stays in train_out."""
+    """Commit-size artifact: params + batch_stats only (optimizer state
+    stays in train_out). bf16 on disk is a TRANSPORT choice (halves the
+    commit); every serving loader normalizes to f32 at load
+    (``utils.ckpt_io.normalize_serving_dtype`` — bf16-stored leaves
+    compile a ~7.7x slower forward, VERDICT r4 #1)."""
     import jax
     import jax.numpy as jnp
     import orbax.checkpoint as ocp
@@ -357,20 +422,39 @@ def write_results(greedy_cer, beam_cer, alpha, beta, tune_cer, ppl, epochs,
                 f"`third-party/README.md:95`)\n")
         f.write("- data: 2400 train / 150 test / 100 tune lines, 40-50 "
                 "chars each (seed 42); train/val regenerable via "
-                "`--step data`\n")
+                "`--step data`; `--step augment` adds deterministic extra "
+                "train lines (data_aug/, gitignored)\n")
+        f.write(
+            "\n## Scratch space\n\n"
+            "`demo/full/train_out/` (gitignored, ~12 GB when present) "
+            "holds the rolling orbax training state — full optimizer "
+            "moments for the 38M model plus the best-epoch copies "
+            "`hctr_{N}ep_{acc}acc_checkpoint` the trainer snapshots on "
+            "every val improvement (`train/checkpoint.py` naming). It "
+            "exists only on a machine that ran `--step train`; `--step "
+            "strip` distills it into the committed `checkpoint/` (params "
+            "+ batch_stats, bf16 transport; serving loaders normalize to "
+            "f32 — see `utils/ckpt_io.py`). Safe to delete after "
+            "stripping: `rm -rf demo/full/train_out`.\n")
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--step", default="all",
-                    choices=["data", "train", "lm", "strip", "grid",
-                             "eval", "all"])
+                    choices=["data", "augment", "train", "lm", "strip",
+                             "grid", "eval", "all"])
     ap.add_argument("--epochs", type=int, default=60)
     ap.add_argument("--lr", type=float, default=0.001)
+    ap.add_argument("--lr-decay-epochs", type=int, default=None)
     ap.add_argument("--optimizer", default="adam",
                     choices=["model", "sgd", "adam"])
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--resume", default="")
+    ap.add_argument("--n-extra", type=int, default=3600,
+                    help="extra train lines for --step augment")
+    ap.add_argument("--train-data", default="",
+                    help="override the train step's dataset root "
+                         "(e.g. demo/full/data_aug from --step augment)")
     ap.add_argument("--skip-grid", action="store_true",
                     help="use the recorded (lm_panelty, len_bonus)")
     args = ap.parse_args()
@@ -381,9 +465,12 @@ def main():
 
     if step in ("data", "all"):
         make_datasets()
+    if step == "augment":
+        make_augmented_train(n_extra=args.n_extra)
     if step in ("train", "all"):
-        train_recognizer(data, args.epochs, args.lr, args.batch,
-                         args.resume, args.optimizer)
+        train_recognizer(args.train_data or data, args.epochs, args.lr,
+                         args.batch, args.resume, args.optimizer,
+                         args.lr_decay_epochs)
     ppl = float("nan")
     if step in ("lm", "all"):
         _, ppl = train_lm()
