@@ -71,6 +71,9 @@ def build_argparser():
                       default=8)
     args.add_argument("--seg-budget", dest="seg_budget", type=int, default=0)
     args.add_argument("--run-max", dest="run_max", type=int, default=8)
+    args.add_argument("--prune", dest="prune", type=float, default=0.001,
+                      metavar="P", help="skip-search ambiguity threshold "
+                      "(probability; `ctc_codec.py:128` default)")
     args.add_argument("--ctx-ladder", dest="ctx_ladder", type=int,
                       default=112)
     args.add_argument("--fused-commit", dest="fused_commit",
@@ -126,6 +129,7 @@ def main():
         lm_ctx=args.lm_ctx, lm_group=args.lm_group,
         seg_budget=args.seg_budget, run_max=args.run_max,
         ctx_ladder=args.ctx_ladder, fused_commit=args.fused_commit,
+        prune=args.prune,
         lm_f32=args.lm_f32,
         lm_int8=args.lm_int8,
         int8=args.int8)

@@ -45,6 +45,13 @@ def build_argparser():
     args.add_argument("-ss", "--skip-search", dest="skip_search",
                       action="store_true",
                       help="skip high-confidence frames in beam search")
+    args.add_argument("--prune", dest="prune", type=float, default=0.001,
+                      metavar="P",
+                      help="skip-search ambiguity threshold as a "
+                           "probability (default 0.001 = the reference's "
+                           "`ctc_codec.py:128`); a calibrated tighter "
+                           "value (e.g. 0.01) keeps more frames on the "
+                           "fast path when posteriors are soft")
     args.add_argument("-kp", "--kenlm-path", dest="kenlm_path", type=str,
                       metavar="PATH", default="",
                       help="ngram model for scoring in beam search")

@@ -41,6 +41,7 @@ Mirrors the role of the reference's per-call beam-search knobs
 
 from __future__ import annotations
 
+import math
 
 import jax
 import numpy as np
@@ -77,14 +78,22 @@ class AdaptiveLMBeam:
                  skip_search: bool = True, group_size: int = 8,
                  lm_ctx: int = 0, seg_budget: int = 0, run_max: int = 8,
                  ctx_ladder: int = 112, fused_commit: bool = False,
-                 dense_merge=None, mesh=None, verbose: bool = False):
+                 dense_merge=None, mesh=None, verbose: bool = False,
+                 prune: float = math.log(0.001)):
         self._clm = clm
         self._c2l = codec2lm
         self._l2c = lm2codec
+        # prune: the skip-search ambiguity threshold (`ctc_codec.py:128`,
+        # log(0.001) = reference-exact). A CALIBRATED tighter value (e.g.
+        # log(0.01)) turns soft frames back into fast frames on less-peaky
+        # posteriors — the serving knob for VERDICT r4's 148-segment
+        # explosion; callers must compute n_above at the SAME threshold
+        # (`topk_logsoftmax(prune=...)`).
         self._kw = dict(beam_size=beam_size, depth=depth,
                         unknown_id=unknown_id, lm_panelty=lm_panelty,
                         len_bonus=len_bonus, use_lm_pred=use_lm_pred,
-                        run_max=run_max, return_overflow=True)
+                        run_max=run_max, prune=float(prune),
+                        return_overflow=True)
         self.unknown_id = unknown_id
         self.skip = bool(skip_search)
         self.group_size = group_size

@@ -129,6 +129,21 @@ class EvalSession:
             self._mesh = make_mesh(data=ndp, model=1,
                                    devices=jax.devices()[:ndp])
 
+        # Weight residency: the loaders return HOST numpy trees (dtype
+        # normalization happens on host), and a host tree passed to a jit
+        # re-transfers every leaf on EVERY dispatch — ~150 MB of f32 at
+        # b32/w1200 over the TPU tunnel, which round 4/5 measured as THE
+        # serving ceiling (host-numpy vars 4828 ms/call = 6.6 lines/sec
+        # vs device-resident 328 ms/call = 97.6). Commit the weights to
+        # the device (replicated over the mesh when -dp) exactly once.
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            self.variables = jax.device_put(
+                self.variables, NamedSharding(self._mesh, PartitionSpec()))
+        else:
+            self.variables = jax.device_put(self.variables,
+                                            jax.devices()[0])
+
         # int8 conv scales (``serve/quant.py``), calibrated lazily on the
         # first batch when --int8; passed as a jit ARGUMENT so the switch
         # from None to the calibrated tree retraces exactly once

@@ -30,7 +30,10 @@ class LMScorer:
     def __init__(self, model, variables, tokenizer: Tokenizer,
                  len_bucket: int = 32):
         self.model = model
-        self.variables = variables
+        # commit to device once — a host tree re-uploads per score call
+        # (see eval.driver weight-residency note)
+        import jax
+        self.variables = jax.device_put(variables, jax.devices()[0])
         self.tokenizer = tokenizer
         self.len_bucket = len_bucket
         self._score_fn = jax.jit(self._score_impl)

@@ -98,12 +98,16 @@ class ServingEngine:
                  fused_commit: bool = False,
                  lm_f32: bool = False,
                  lm_int8: bool = False,
-                 int8: bool = False):
+                 int8: bool = False,
+                 prune: float = 0.001):
         import jax
         import jax.numpy as jnp
 
         self.model = model
-        self.variables = variables
+        # device-resident weights: a host tree re-uploads every leaf on
+        # every dispatch (~150 MB f32 over the tunnel = the measured
+        # serving ceiling; see eval.driver) — commit once at build time
+        self.variables = jax.device_put(variables, jax.devices()[0])
         self.codec = codec
         self.widths = sorted(widths)
         self.decode_method = decode_method
@@ -128,6 +132,8 @@ class ServingEngine:
                                    quant=self._quant)
             return model.apply(variables, x, train=False)
 
+        import math
+        prune_lp = math.log(prune)
         unknown_id = codec.unknown_id
         use_beam = decode_method == "beam-search"
         is_jax_lm = lm is not None and hasattr(lm, "lm_model")
@@ -162,12 +168,13 @@ class ServingEngine:
                 len_bonus=len_bonus, use_lm_pred=use_lm_pred,
                 skip_search=self._skip, group_size=lm_group,
                 lm_ctx=lm_ctx, seg_budget=seg_budget, run_max=run_max,
-                ctx_ladder=ctx_ladder, fused_commit=fused_commit)
+                ctx_ladder=ctx_ladder, fused_commit=fused_commit,
+                prune=prune_lp)
 
             def infer(variables, x_u8):
                 logits = apply_fwd(variables, normalize(x_u8))
                 cv, ci, blank_lp, n_above = topk_logsoftmax(
-                    logits, k=search_depth)
+                    logits, k=search_depth, prune=prune_lp)
                 logz = jax.scipy.special.logsumexp(
                     logits.astype(jnp.float32), axis=-1)
                 return cv, ci, logits, logz, blank_lp, n_above
@@ -191,7 +198,7 @@ class ServingEngine:
                 lm_panelty=lm_panelty, len_bonus=len_bonus,
                 use_lm_pred=use_lm_pred and lm is not None,
                 use_lm_score=use_lm_score and lm is not None,
-                skip_search=skip_search)
+                skip_search=skip_search, prune_log_prob=prune_lp)
             self._host_beam = BeamSearchDecoder(codec, lm or NullLM(), cfg)
             # upgrade to the native C++ decoder for qualifying configs
             # (no-LM / ARPA n-gram) — identical transcriptions, no

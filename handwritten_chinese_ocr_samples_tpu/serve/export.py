@@ -187,9 +187,14 @@ class ExportedLMScorer:
             self.meta = json.load(f)
         self.tokenizer = Tokenizer(os.path.join(lm_dir, self.meta["dict"]))
         # host-array restore: the bundle loads regardless of the topology
-        # it was exported under (see utils.ckpt_io)
-        self.variables = restore_pytree_host(
-            os.path.abspath(os.path.join(lm_dir, self.meta["weights"])))
+        # it was exported under (see utils.ckpt_io) — then committed to
+        # the device once (a host tree would re-upload per call; see
+        # eval.driver weight-residency note)
+        import jax
+        self.variables = jax.device_put(
+            restore_pytree_host(os.path.abspath(
+                os.path.join(lm_dir, self.meta["weights"]))),
+            jax.devices()[0])
         self._fns = {}
         for b in self.meta["batch_sizes"]:
             for L in self.meta["lengths"]:

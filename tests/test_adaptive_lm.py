@@ -395,3 +395,74 @@ def test_adaptive_int8_lm_decode_agrees(setup):  # noqa: F811
         *AdaptiveLMBeam(clm_q, c2l, l2c, **kw).decode(*args))
     same = sum(g == w for g, w in zip(got, want))
     assert same >= 6, (got, want)
+
+
+def _soft_preds(T, B, seed):
+    """Posteriors with SOFT runner-ups: every char frame carries a second
+    class at ~0.005 probability — above the reference prune 0.001
+    (ambiguous) but below a calibrated 0.05 (fast). Models the round-4
+    trained checkpoint's regime of ~3 ambiguous frames per character."""
+    rng = np.random.default_rng(seed)
+    D = len(CHARS) + 2
+    logits = rng.normal(size=(T, B, D)) * 0.05
+    for b in range(B):
+        for t in range(T):
+            if rng.random() < 0.5:
+                logits[t, b, 0] += 12.0
+            else:
+                c = rng.integers(1, D - 1)
+                logits[t, b, c] += 12.0
+                # runner-up ~0.005 of the mass
+                r = rng.integers(1, D - 1)
+                if r != c:
+                    logits[t, b, r] += 12.0 + np.log(0.005)
+    return logits.astype(np.float32)
+
+
+@pytest.mark.parametrize("prune_p", [0.001, 0.05])
+def test_adaptive_prune_knob_matches_host(setup, prune_p):  # noqa: F811
+    """The --prune serving knob (VERDICT r4 #2: calibrate the ambiguity
+    threshold for soft posteriors) threads end-to-end: AdaptiveLMBeam and
+    the host oracle agree at the SAME non-default prune, and the tighter
+    prune provably shrinks the segment count the adaptive driver sizes."""
+    from scipy.special import log_softmax
+
+    from handwritten_chinese_ocr_samples_tpu.decode.beam_host import (
+        BeamSearchConfig, BeamSearchDecoder)
+    from handwritten_chinese_ocr_samples_tpu.decode.lm_interface import (
+        JaxLMBackend)
+    from handwritten_chinese_ocr_samples_tpu.ops.topk_logsoftmax import (
+        topk_logsoftmax_xla)
+
+    codec, clm, scorer, c2l, l2c = setup
+    prune_lp = float(np.log(prune_p))
+    logits_tbd = _soft_preds(T=20, B=4, seed=3)
+    cfg = BeamSearchConfig(beam_size=4, search_depth=6, lm_panelty=0.7,
+                           len_bonus=1.5, use_lm_pred=True,
+                           use_lm_score=True, skip_search=True,
+                           prune_log_prob=prune_lp)
+    host = BeamSearchDecoder(codec, JaxLMBackend(scorer), cfg)
+    want = host.decode(log_softmax(logits_tbd, axis=2), already_log=True)
+
+    beam = AdaptiveLMBeam(
+        clm, c2l, l2c, beam_size=4, depth=6, unknown_id=codec.unknown_id,
+        lm_panelty=0.7, len_bonus=1.5, skip_search=True, prune=prune_lp)
+    logits_btd = jnp.asarray(logits_tbd.transpose(1, 0, 2))
+    cv, ci, blank_lp, n_above = topk_logsoftmax_xla(logits_btd, k=6,
+                                                    prune=prune_lp)
+    logz = jax.scipy.special.logsumexp(
+        logits_btd.astype(jnp.float32), axis=-1)
+    got = codec.compact_to_texts(
+        *beam.decode(cv, ci, logits_btd, logz, blank_lp, n_above))
+    assert got == want, prune_p
+    # the calibrated prune turns soft frames back into fast frames: the
+    # raw per-line segment counts (what the auto budget sizes from,
+    # before its floor of 16) must shrink vs the reference threshold
+    from handwritten_chinese_ocr_samples_tpu.decode.beam_lm_device import (
+        count_segments)
+    segs = int(count_segments(ci, n_above,
+                              unknown_id=codec.unknown_id).max())
+    if prune_p == 0.05:
+        assert segs <= 6, segs       # ~1 segment per char run
+    else:
+        assert segs >= 9, segs       # every soft runner-up pays a segment
