@@ -55,6 +55,20 @@ def main():
     ap.add_argument("--fused-commit", action="store_true",
                     help="defer the run commit into the reorder write "
                          "(one cache pass per segment; exact)")
+    ap.add_argument("--posteriors", default="",
+                    help="replay REAL dumped posteriors "
+                         "(tools/dump_posteriors.py .npz) instead of "
+                         "synthetics: segment structure and timings are "
+                         "exact (logits off the top-K are floor-filled, "
+                         "so transcriptions are approximate — use "
+                         "test.py for CER)")
+    ap.add_argument("--lm", default="",
+                    help="load a trained LM bundle (lm/io.load_lm dir) "
+                         "instead of random-init weights")
+    ap.add_argument("--prune", type=float, default=0.001,
+                    help="skip-search ambiguity threshold (probability); "
+                         "with --posteriors, n_above recomputes from the "
+                         "dumped top-K at this value")
     args = ap.parse_args()
 
     import jax
@@ -73,33 +87,79 @@ def main():
         synth_peaky_logits)
 
     B, T, D = args.batch, args.width, NUM_CLASSES
-    chars = "".join(chr(0x4E00 + i) for i in range(D - 2))
+    if args.posteriors:
+        # real class ids need the real vocabulary (sibling data/ dir of
+        # the dump, the demo/full layout)
+        import os
+        cl = os.path.join(os.path.dirname(os.path.abspath(args.posteriors)),
+                          "data", "chars_list.txt")
+        with open(cl, encoding="utf-8") as f:
+            chars = "".join(ln.rstrip("\n") for ln in f if ln.strip())
+        assert len(chars) + 2 == D, (len(chars), D)
+    else:
+        chars = "".join(chr(0x4E00 + i) for i in range(D - 2))
     codec = CTCCodec(chars)
     tokenizer = Tokenizer.from_characters(chars)
 
-    model = CharTransformerLM(vocab_size=tokenizer.vocab_size)
-    lm_params = jax.jit(model.init, static_argnames=("train",))(
-        {"params": jax.random.key(0)},
-        jnp.zeros((1, 8), jnp.int32), train=False)["params"]
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    if args.lm:
+        from handwritten_chinese_ocr_samples_tpu.lm.io import load_lm
+        model, lm_vars, tokenizer = load_lm(args.lm, dtype=dtype)
+        lm_params = lm_vars["params"]
+    else:
+        model = CharTransformerLM(vocab_size=tokenizer.vocab_size)
+        lm_params = jax.jit(model.init, static_argnames=("train",))(
+            {"params": jax.random.key(0)},
+            jnp.zeros((1, 8), jnp.int32), train=False)["params"]
     clm = CachedLM(model, lm_params, dtype=dtype, quant_int8=args.lm_int8)
     c2l, l2c = make_id_tables(codec, tokenizer)
 
     skip = not args.no_skip
-
-    print(f"synthesizing logits ({B}x{T}x{D})...", flush=True)
-    logits_np = synth_peaky_logits(B, T, D)
+    prune_lp = float(np.log(args.prune))
     dev = jax.devices()[0]
-    logits = jax.device_put(jnp.asarray(logits_np), dev)
 
-    @jax.jit
-    def prep(logits):
-        cv, ci, blank_lp, n_above = topk_logsoftmax(logits, k=args.depth)
-        logz = jax.scipy.special.logsumexp(
-            logits.astype(jnp.float32), axis=-1)
-        return cv, ci, logz, blank_lp, n_above
+    if args.posteriors:
+        # replay the dumped REAL top-K tables: cost structure (segments,
+        # peek rows, kept frames) is exact; full logits are floor-filled
+        # off the top-K (only the ling_p gather of off-table LM proposals
+        # sees the floor, a below-prune stand-in)
+        d = np.load(args.posteriors, allow_pickle=True)
+        n = d["cand_vals"].shape[0]
+        sel = (np.arange(B) * max(1, n // B)) % n
+        cvn = d["cand_vals"][sel, :T]
+        cin = d["cand_idx"][sel, :T]
+        blankn = d["blank_lp"][sel, :T]
+        n_above_n = d["n_above"][sel, :T]
+        K = cvn.shape[-1]
+        if args.prune > 0.001:
+            na = (cvn > prune_lp).sum(-1).astype(np.int32)
+            n_above_n = np.where((n_above_n > K) & (na <= 1), 2, na)
+        floor = np.float32(cvn.min() - 5.0)
+        logits_np = np.full((B, T, D), floor, np.float32)
+        np.put_along_axis(logits_np, cin.astype(np.int64), cvn, axis=-1)
+        logz_np = np.zeros((B, T), np.float32)  # dumped vals are log-probs
+        cv = jax.device_put(jnp.asarray(cvn), dev)
+        ci = jax.device_put(jnp.asarray(cin), dev)
+        blank_lp = jax.device_put(jnp.asarray(blankn), dev)
+        n_above = jax.device_put(jnp.asarray(n_above_n), dev)
+        logz = jax.device_put(jnp.asarray(logz_np), dev)
+        logits = jax.device_put(jnp.asarray(logits_np), dev)
+        print(f"replaying {B} of {n} dumped lines (T={T}, "
+              f"prune {args.prune})", flush=True)
+    else:
+        print(f"synthesizing logits ({B}x{T}x{D})...", flush=True)
+        logits_np = synth_peaky_logits(B, T, D)
+        logits = jax.device_put(jnp.asarray(logits_np), dev)
 
-    cv, ci, logz, blank_lp, n_above = prep(logits)
+        @jax.jit
+        def prep(logits):
+            cv, ci, blank_lp, n_above = topk_logsoftmax(
+                logits, k=args.depth, prune=prune_lp)
+            logz = jax.scipy.special.logsumexp(
+                logits.astype(jnp.float32), axis=-1)
+            return cv, ci, logz, blank_lp, n_above
+
+        cv, ci, logz, blank_lp, n_above = prep(logits)
     kept = count_kept_frames(np.asarray(ci), np.asarray(n_above),
                              unknown_id=codec.unknown_id)
     segs = count_segments(np.asarray(ci), np.asarray(n_above),
@@ -146,6 +206,7 @@ def main():
         clm, c2l, l2c, beam_size=args.beam, depth=args.depth,
         unknown_id=codec.unknown_id, lm_panelty=0.8, len_bonus=4.8,
         lm_ctx=args.lm_ctx, use_lm_pred=True, skip_search=skip,
+        prune=prune_lp,
         kept_budget=args.budget if skip else None,
         group_size=group,
         seg_budget=args.seg_budget if skip else None,
