@@ -46,3 +46,15 @@ def test_fullsize_loader_returns_trained_variables():
     leaves = [np.asarray(x) for x in
               __import__("jax").tree.leaves(variables["batch_stats"])]
     assert any(np.abs(a).max() > 1e-3 for a in leaves)
+
+
+def test_fullsize_loader_serves_f32():
+    """The serving dtype contract (utils.ckpt_io.normalize_serving_dtype):
+    whatever the artifact stores (bf16 transport), loaders hand f32 to the
+    compiled program — bf16-stored leaves compile a ~7.7x slower forward."""
+    out = bench._try_load_fullsize()
+    assert out is not None
+    variables = out[0]
+    import jax
+    dts = {np.asarray(a).dtype.name for a in jax.tree.leaves(variables)}
+    assert "bfloat16" not in dts, dts
