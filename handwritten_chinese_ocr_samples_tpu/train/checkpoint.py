@@ -131,7 +131,10 @@ def load_checkpoint(
             "opt_state": state.opt_state,
             "step": state.step,
         }
-        payload = ckptr.restore(path, item=template)
+        try:
+            payload = ckptr.restore(path, item=template)
+        except Exception:
+            return _warm_start(ckptr, path, state)
         new_state = state.replace(
             params=payload["params"],
             batch_stats=payload["batch_stats"],
@@ -142,3 +145,41 @@ def load_checkpoint(
     payload = ckptr.restore(path)
     return payload, int(payload.get("epoch", 0)), float(
         payload.get("best_acc", 0.0))
+
+
+def _warm_start(
+    ckptr: ocp.PyTreeCheckpointer,
+    path: str,
+    state: TrainState,
+) -> Tuple[TrainState, int, float]:
+    """Warm-start resume from a *stripped* serving artifact.
+
+    Serving checkpoints (e.g. ``tools/make_fullsize_demo.py --step strip``)
+    carry only ``{params, batch_stats}`` — no optimizer moments, no step.
+    The reference's resume (`main.py:257-263`) assumes a full training
+    checkpoint; fine-tuning from a deployed artifact is the TPU-framework
+    extra. Params/batch_stats are cast to the train state's dtypes (stripped
+    artifacts store bf16 transport; training runs f32 master weights), the
+    optimizer starts fresh, and the epoch counter restarts at 0 so the LR
+    schedule applies from the configured base LR.
+    """
+    import numpy as np
+
+    raw = ckptr.restore(path)
+    if not isinstance(raw, dict) or "params" not in raw:
+        raise ValueError(
+            f"checkpoint at {path} is neither a full training checkpoint "
+            "nor a stripped params+batch_stats artifact")
+
+    def _cast_like(t, a):
+        return np.asarray(a, dtype=np.asarray(t).dtype)
+
+    new_state = state.replace(
+        params=jax.tree.map(_cast_like, state.params, raw["params"]),
+        batch_stats=jax.tree.map(_cast_like, state.batch_stats,
+                                 raw["batch_stats"]),
+    )
+    best_acc = float(raw.get("best_acc", 0.0))
+    print(f"=> warm start from stripped artifact {path} "
+          f"(fresh optimizer, epoch 0, best_acc {best_acc:.4f})")
+    return new_state, 0, best_acc

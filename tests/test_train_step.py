@@ -100,6 +100,40 @@ def test_multichip_sharded_train_step():
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_warm_start_from_stripped_artifact(tiny_state, tmp_path):
+    """Resuming from a *stripped* serving artifact (params+batch_stats only,
+    bf16 transport — `tools/make_fullsize_demo.py --step strip`) warm-starts:
+    params restored (cast back to the train dtype), optimizer fresh, epoch 0.
+    A full-checkpoint resume path is covered by the trainer e2e tests."""
+    import orbax.checkpoint as ocp
+    from handwritten_chinese_ocr_samples_tpu.train.checkpoint import (
+        load_checkpoint)
+
+    _, state = tiny_state
+    stripped = {
+        "epoch": 7,
+        "best_acc": 0.83,
+        "params": jax.tree.map(
+            lambda a: np.asarray(a, jnp.bfloat16), state.params),
+        "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
+    }
+    path = str(tmp_path / "stripped_checkpoint")
+    ocp.PyTreeCheckpointer().save(path, stripped)
+
+    new_state, epoch, best_acc = load_checkpoint(path, state)
+    assert epoch == 0                      # LR schedule restarts
+    assert best_acc == pytest.approx(0.83)
+    for want, got in zip(jax.tree.leaves(state.params),
+                         jax.tree.leaves(new_state.params)):
+        assert got.dtype == want.dtype     # bf16 transport -> f32 training
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=0.01, atol=1e-2)
+    # optimizer state untouched (fresh moments)
+    for a, b in zip(jax.tree.leaves(state.opt_state),
+                    jax.tree.leaves(new_state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_pool_impls_bit_identical():
     """`pool_impl="reshape"` must be a pure lowering change: identical
     forward logits AND identical gradients vs the reduce_window default
