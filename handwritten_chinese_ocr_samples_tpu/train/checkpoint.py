@@ -70,10 +70,16 @@ def save_checkpoint(
     With ``use_async`` the device->host transfer and disk write run in the
     background (orbax AsyncCheckpointer) so the train loop keeps stepping;
     the previous save is awaited first, and the best-copy of an async save
-    is deferred until it is durable.
+    is deferred until it is durable. ``HCTR_SYNC_CKPT=1`` forces synchronous
+    saves: on the tunneled single-chip platform a background D2H of the full
+    train state can wedge against concurrent train-step dispatch (observed
+    as an axon-conn stall right after an epoch save), and a synchronous
+    save serializes the two at ~15-30 s/epoch cost.
     """
     if jax.process_index() != 0:
         return ""
+    if os.environ.get("HCTR_SYNC_CKPT") == "1":
+        use_async = False
     os.makedirs(out_dir, exist_ok=True)
     payload = {
         "epoch": epoch,
